@@ -1,0 +1,160 @@
+"""Configuration tree for banet_tpu.
+
+The reference has no config system — behavior is controlled by module
+globals (reference legacy/ba.py:5-9: ``early_termination``,
+``angle_change``, ``translation_change``, ``residual_ratio``, ``qr``) and
+hard-coded constants (crop remaps at reference bundlenet.py:286-302,
+intrinsics at legacy/seq_example.py:114).  Here every knob lives in one
+frozen dataclass tree so a full experiment is a single hashable value
+that can be closed over by ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Gauss-Newton / LM solver knobs.
+
+    Defaults mirror the reference operating point (legacy/ba.py:5-9 and
+    legacy/example.py:83): per-level max iterations, early-exit
+    thresholds on the SE(3) update norm, and step rejection when the
+    re-warped residual does not decrease.
+    """
+
+    # Max GN iterations per pyramid level, coarse -> fine.
+    level_iters: Tuple[int, ...] = (5, 8, 12)
+    # Early-termination thresholds (legacy/ba.py:6-7). An iteration whose
+    # rotation update is below `angle_change` AND translation update below
+    # `translation_change` freezes the remaining iterations of the scan.
+    early_termination: bool = True
+    angle_change: float = 0.002 * (3.14 / 180.0)
+    translation_change: float = 2e-4
+    # Accept a step only if new residual < residual_ratio * old residual
+    # (legacy/ba.py:8,343-345).
+    residual_ratio: float = 1.0
+    reject_bad_steps: bool = True
+    # Base multiplier on the learned damping for the joint pose+depth
+    # solve (reference bundlenet.py:393 uses 1000.0).
+    bundle_damping_base: float = 1000.0
+    # Keep the reference quirk of leaving the last diagonal entry of the
+    # (6+K) bundle system undamped (reference bundlenet.py:266).
+    damp_last_diag: bool = False
+    # Small absolute floor added to the diagonal before scaling by the
+    # learned lambda (reference bundlenet.py:182,266: diag + 1e-5).
+    diag_floor: float = 1e-5
+    # Renormalize the damping-net residual input by the valid-point
+    # fraction (legacy/ba.py:257,268 does; bundlenet.py:167 does not).
+    renormalize_residual: bool = False
+    # Solve dtype for the (6+K)x(6+K) normal system.
+    solve_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture knobs.
+
+    Channel plan follows the reference DRN (reference enc.py:145:
+    channels (16, 32, 64, 128, 256, 512)), 128-channel pyramid features
+    (reference legacy/feat.py:251), and a 32-channel depth basis at 1/2
+    resolution (reference dec.py:77,104-108 + enc.py:145).
+    """
+
+    backbone: str = "drn38"  # drn22 | drn38 | drn54
+    channels: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
+    pyramid_channels: int = 128
+    pyramid_levels: int = 4  # scales 1/8, 1/4, 1/2, 1/1 (coarse -> fine)
+    basis_channels: int = 32
+    # Depth head basis normalization: instance std (reference dec.py:107-108)
+    basis_normalized: bool = True
+    # ImageNet statistics applied inside the encoder (reference enc.py:185).
+    image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    bn_momentum: float = 0.95  # reference enc.py:5 _BATCH_NORM_DECAY
+    bn_epsilon: float = 1e-5  # reference enc.py:6
+    # Compute dtype for conv stacks; params/stats stay float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryConfig:
+    """Ray and update conventions.
+
+    The reference mixes two ray conventions: unit-normalized rays
+    (reference bundlenet.py:119 l2_normalize) where "depth" is distance
+    along the ray, and z=1 rays (reference legacy/ba.py:27-34) where
+    depth is plain z-depth. We support both; the flagship uses
+    ``normalized_rays=True`` to match the trained BundleNet layer.
+    """
+
+    normalized_rays: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    image_size: Tuple[int, int] = (256, 320)  # train crop (bundlenet.py:286)
+    num_points: int = 1024  # sampled points (legacy/ba.py:441)
+    # Border trim used by the reference train-time crop remap
+    # (reference bundlenet.py:286-288: x = 320*(x-4)/312).
+    crop_border: int = 4
+    # Sobel texture threshold for point selection (legacy/seq_example.py:15).
+    texture_threshold: float = 120.0
+    depth_scale: float = 5000.0  # TUM depth PNG scale (rgbd_sequence.py:362)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_pairs: int = 4  # image pairs per step
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    loss_rotation_weight: float = 1.0
+    loss_translation_weight: float = 1.0
+    loss_flow_weight: float = 1.0
+    loss_depth_weight: float = 1.0
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Named mesh axes for distribution (new design; reference has no
+    distributed backend — SURVEY.md §2.5)."""
+
+    data: int = 1  # data-parallel axis (pairs/windows)
+    frame: int = 1  # window-BA frame-sharding axis
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Sequence-odometry keyframe policy (legacy/seq_example.py:190)."""
+
+    min_keep_ratio: float = 0.8
+    max_time_gap: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    solver: SolverConfig = SolverConfig()
+    geometry: GeometryConfig = GeometryConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def legacy_tracker_config() -> Config:
+    """Operating point of the legacy two-view tracker
+    (legacy/ba.py:441: 1024 points; legacy/example.py:83 iters [5,8,12];
+    3 pyramid levels from legacy/feat.py:240-271)."""
+    return Config(
+        model=ModelConfig(backbone="drn54", pyramid_levels=3),
+        solver=SolverConfig(level_iters=(5, 8, 12)),
+        geometry=GeometryConfig(normalized_rays=False),
+    )

@@ -1,0 +1,190 @@
+"""Dilated Residual Network encoder (DRN-22 / 38 / 54), Flax/NHWC.
+
+Re-design of the reference encoder (reference enc.py:142-239), keeping
+the architectural decisions that affect parity:
+
+- SYMMETRIC (edge-reflecting) padding before every k>1 conv instead of
+  zero padding (reference enc.py:23-41 — "zero padding is stupid");
+- stride-2 realized as 2x2 average pooling *before* each stage's block
+  stack, with stride-1 convs inside (reference enc.py:160-161,172-173);
+- projection shortcuts (1x1 conv + BN) whenever channels change
+  (reference enc.py:43-47);
+- inline ImageNet input normalization: x/255 then (x-mean)/std
+  (reference enc.py:185, which passes variance=std^2 to TF batch_norm);
+- BN momentum 0.95, eps 1e-5 (reference enc.py:5-6);
+- stage plan: layer0 = 7x7 conv; layers 1-2 = plain conv stacks;
+  layers 3-6 = residual stages with channels (16,16,32,64,128,256,512)
+  x block expansion (reference enc.py:145,180-239).
+
+TPU adaptations: NHWC layout (channel = lane dimension), bfloat16
+compute with float32 params/statistics, explicit he-normal init.  All
+"no_dilation" variants (the only ones the reference instantiates) are
+covered; dilation plumbing exists on ConvBlock for completeness.
+
+Variants (reference enc.py:180,201,221):
+  drn22: basic blocks,      stage depths [1, 1, 2, 2, 2, 2]
+  drn38: basic blocks,      stage depths [1, 1, 3, 4, 6, 3]
+  drn54: bottleneck blocks, stage depths [1, 1, 3, 4, 6, 3]
+
+Output: list of feature maps [layer6 (1/32), layer5 (1/16),
+layer4 (1/8), layer3 (1/4), layer2 (1/2)] (+ layer1 (1/1) when
+``include_layer1``, which drn38 returns in the reference,
+enc.py:219).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_VARIANTS = {
+    "drn22": ("basic", (1, 1, 2, 2, 2, 2)),
+    "drn38": ("basic", (1, 1, 3, 4, 6, 3)),
+    "drn54": ("bottleneck", (1, 1, 3, 4, 6, 3)),
+}
+
+
+def symmetric_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """NHWC symmetric (edge-inclusive mirror) spatial padding
+    (reference enc.py:23-29)."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                   mode="symmetric")
+
+
+class ConvBN(nn.Module):
+    """Symmetric-padded conv + optional BN + optional activation."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    norm: bool = True
+    act: Any = None  # e.g. nn.relu
+    dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.95
+    bn_epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation * (self.kernel - 1) // 2
+        if self.kernel > 1:
+            x = symmetric_pad(x, pad)
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="VALID",
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    kernel_init=nn.initializers.he_normal())(x)
+        if self.norm:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum,
+                             epsilon=self.bn_epsilon, dtype=self.dtype)(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + residual (reference enc.py:57-100)."""
+
+    features: int
+    dilation: int = 1
+    residual: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        if self.residual and x.shape[-1] != self.features:
+            shortcut = ConvBN(self.features, kernel=1, dtype=self.dtype,
+                              name="downsample")(x, train)
+        y = ConvBN(self.features, 3, dilation=self.dilation, act=nn.relu,
+                   dtype=self.dtype, name="conv_bn1")(x, train)
+        y = ConvBN(self.features, 3, dilation=self.dilation,
+                   dtype=self.dtype, name="conv_bn2")(y, train)
+        if self.residual:
+            y = y + shortcut
+        return nn.relu(y)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) + residual (reference enc.py:103-140)."""
+
+    features: int
+    dilation: int = 1
+    expansion: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.features * self.expansion
+        shortcut = x
+        if x.shape[-1] != out_ch:
+            shortcut = ConvBN(out_ch, kernel=1, dtype=self.dtype,
+                              name="downsample")(x, train)
+        y = ConvBN(self.features, 1, act=nn.relu, dtype=self.dtype,
+                   name="conv_bn1")(x, train)
+        y = ConvBN(self.features, 3, dilation=self.dilation, act=nn.relu,
+                   dtype=self.dtype, name="conv_bn2")(y, train)
+        y = ConvBN(out_ch, 1, dtype=self.dtype, name="conv_bn3")(y, train)
+        return nn.relu(y + shortcut)
+
+
+def _avg_pool2(x):
+    """2x2/stride-2 average pool — the reference's downsampling
+    (enc.py:160-161)."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+class DRN(nn.Module):
+    """DRN backbone.  ``variant`` in {drn22, drn38, drn54}."""
+
+    variant: str = "drn38"
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    include_layer1: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """images: (B, H, W, 3) in [0, 255] -> [layer6 ... layer2
+        (, layer1)] coarse-to-fine feature maps."""
+        block_kind, depths = _VARIANTS[self.variant]
+        Block = BasicBlock if block_kind == "basic" else BottleneckBlock
+
+        mean = jnp.asarray(self.image_mean, jnp.float32)
+        std = jnp.asarray(self.image_std, jnp.float32)
+        x = ((images / 255.0 - mean) / std).astype(self.dtype)
+
+        ch = self.channels
+        # layer0: 7x7 stem (reference enc.py:190-192).
+        x = ConvBN(ch[0], kernel=7, act=nn.relu, dtype=self.dtype,
+                   name="layer0")(x, train)
+        # layers 1-2: plain conv stacks (reference enc.py:168-178).
+        for i in range(depths[0]):
+            x = ConvBN(ch[0], 3, act=nn.relu, dtype=self.dtype,
+                       name=f"layer1_{i}")(x, train)
+        layer1 = x
+        x = _avg_pool2(x)
+        for i in range(depths[1]):
+            x = ConvBN(ch[1], 3, act=nn.relu, dtype=self.dtype,
+                       name=f"layer2_{i}")(x, train)
+        layer2 = x
+        # layers 3-6: residual stages (reference enc.py:152-166).
+        feats = []
+        for stage, (f, d) in enumerate(zip(ch[2:], depths[2:]), start=3):
+            x = _avg_pool2(x)
+            for i in range(d):
+                x = Block(f, dtype=self.dtype,
+                          name=f"layer{stage}_{i}")(x, train)
+            feats.append(x)
+        layer3, layer4, layer5, layer6 = feats
+        out = [layer6, layer5, layer4, layer3, layer2]
+        if self.include_layer1:
+            out.append(layer1)
+        return out

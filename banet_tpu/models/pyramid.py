@@ -1,0 +1,68 @@
+"""Top-down feature pyramid producing matching-ready 128-ch maps.
+
+Re-design of the reference feature pyramids.  The reference has two:
+the working 3-level legacy one (reference legacy/feat.py:202-271) and a
+4-level one in dec.py that was pasted from it and never ran (reference
+dec.py:157-196 calls an ``upsample`` with the wrong arity and an
+undefined ``batch_norm_selu`` — SURVEY.md §7 bug catalog).  This module
+implements what both intend, parameterized by level count:
+
+  per output level (top-down):
+    up  = upsample2x_bilinear(previous pyramid level)
+    agg = relu(BN(conv1x1(concat[up, skip])))     # "aggregation"
+    out = selu(BN(conv3x3(agg))) -> 128 channels  # "batch_norm_selu"
+
+- 4 levels (flagship, dec.py intent): outputs at 1/8, 1/4, 1/2, 1/1,
+  seeded from layer5 (1/16), skips layer4..layer1;
+- 3 levels (legacy tracker, feat.py:240-271): outputs at 1/4, 1/2, 1/1,
+  seeded from layer4 (1/8), skips layer3..layer1 (the legacy version
+  stacks two 3x3 convs per level; ``convs_per_level=2`` reproduces it).
+
+The fixed bilinear upsampling kernel is the same 4x4 one as the decoder
+(ops/upsample.py; the legacy pyramid made it trainable, feat.py:224 —
+kept fixed here, the surrounding convs absorb the difference).
+
+Output order: coarse -> fine, matching the solver's level order.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from banet_tpu.models.drn import ConvBN
+from banet_tpu.ops.upsample import upsample2x_bilinear
+
+
+class FeaturePyramid(nn.Module):
+    levels: int = 4
+    features: int = 128
+    convs_per_level: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, backbone_layers: List[jnp.ndarray],
+                 train: bool = False) -> List[jnp.ndarray]:
+        """backbone_layers: [layer6, layer5, layer4, layer3, layer2,
+        layer1] coarse -> fine (drn38 output; drn22/54 callers must
+        include a full-res map last).  Returns ``levels`` maps
+        coarse -> fine, each ``features`` channels."""
+        assert len(backbone_layers) >= self.levels + 1
+        # Skips for the output levels, coarse -> fine; the seed is one
+        # coarser than the first output.
+        skips = backbone_layers[-self.levels:]
+        x = backbone_layers[-self.levels - 1]
+        outs = []
+        for lvl, skip in enumerate(skips):
+            x = upsample2x_bilinear(x)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ConvBN(x.shape[-1], kernel=1, act=nn.relu, dtype=self.dtype,
+                       name=f"agg_{lvl}")(x, train)
+            for c in range(self.convs_per_level):
+                x = ConvBN(self.features, kernel=3, act=nn.selu,
+                           dtype=self.dtype,
+                           name=f"conv_{lvl}_{c}")(x, train)
+            outs.append(x)
+        return outs

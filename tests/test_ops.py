@@ -1,0 +1,250 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from banet_tpu.ops import (append_spatial_gradient, bilinear_sample,
+                           bilinear_sample_with_mask, build_normal_equations,
+                           damped_solve, inbounds_mask, spatial_gradient,
+                           upsample2x_bilinear)
+
+
+class TestSpatialGradient:
+    def test_matches_manual_central_difference(self):
+        key = jax.random.PRNGKey(0)
+        f = jax.random.normal(key, (2, 8, 10, 3))
+        g = spatial_gradient(f)
+        assert g.shape == (2, 8, 10, 6)
+        # Interior point check against the definition.
+        gx_manual = 0.5 * (f[:, 3, 5, :] - f[:, 3, 3, :])
+        gy_manual = 0.5 * (f[:, 4, 4, :] - f[:, 2, 4, :])
+        np.testing.assert_allclose(np.asarray(g[:, 3, 4, :3]),
+                                   np.asarray(gx_manual), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g[:, 3, 4, 3:]),
+                                   np.asarray(gy_manual), atol=1e-6)
+
+    def test_reflect_boundary(self):
+        # REFLECT pad => gradient at border uses mirrored neighbor
+        # (reference bundlenet.py:97).
+        f = jnp.arange(5.0).reshape(1, 1, 5, 1) * jnp.ones((1, 4, 1, 1))
+        g = spatial_gradient(f)
+        # At x=0: reflect gives f[1] on both sides? No: pad REFLECT makes
+        # p[0]=f[1], so gx[0] = 0.5*(f[1]-f[1]) = 0.
+        np.testing.assert_allclose(np.asarray(g[0, :, 0, 0]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g[0, :, 2, 0]), 1.0, atol=1e-6)
+
+    def test_append(self):
+        f = jnp.ones((1, 4, 4, 2))
+        out = append_spatial_gradient(f)
+        assert out.shape == (1, 4, 4, 6)
+        np.testing.assert_allclose(np.asarray(out[..., :2]), 1.0)
+
+
+class TestBilinearSample:
+    def _reference_sample(self, feat, px, py):
+        """Straightforward numpy bilinear with zero padding."""
+        B, H, W, C = feat.shape
+        N = px.shape[1]
+        out = np.zeros((B, N, C), np.float64)
+        for b in range(B):
+            for n in range(N):
+                x, y = float(px[b, n]), float(py[b, n])
+                x0, y0 = int(np.floor(x)), int(np.floor(y))
+                wx, wy = x - x0, y - y0
+                for (yi, xi, w) in [(y0, x0, (1 - wx) * (1 - wy)),
+                                    (y0, x0 + 1, wx * (1 - wy)),
+                                    (y0 + 1, x0, (1 - wx) * wy),
+                                    (y0 + 1, x0 + 1, wx * wy)]:
+                    if 0 <= xi < W and 0 <= yi < H:
+                        out[b, n] += w * feat[b, yi, xi]
+        return out
+
+    def test_matches_reference(self):
+        key = jax.random.PRNGKey(1)
+        feat = jax.random.normal(key, (2, 9, 11, 4))
+        px = jax.random.uniform(jax.random.PRNGKey(2), (2, 20),
+                                minval=-2.0, maxval=12.0)
+        py = jax.random.uniform(jax.random.PRNGKey(3), (2, 20),
+                                minval=-2.0, maxval=10.0)
+        got = bilinear_sample(feat, px, py)
+        want = self._reference_sample(np.asarray(feat), np.asarray(px),
+                                      np.asarray(py))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_matches_map_coordinates_interior(self):
+        # Cross-check with jax.scipy.ndimage.map_coordinates for
+        # strictly-interior points (SURVEY.md §4 test strategy).
+        from jax.scipy.ndimage import map_coordinates
+        key = jax.random.PRNGKey(4)
+        feat = jax.random.normal(key, (1, 16, 16, 1))
+        px = jax.random.uniform(jax.random.PRNGKey(5), (1, 30),
+                                minval=1.0, maxval=14.0)
+        py = jax.random.uniform(jax.random.PRNGKey(6), (1, 30),
+                                minval=1.0, maxval=14.0)
+        got = bilinear_sample(feat, px, py)[0, :, 0]
+        want = map_coordinates(feat[0, :, :, 0], [py[0], px[0]], order=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_integer_points_exact(self):
+        feat = jnp.arange(24.0).reshape(1, 4, 6, 1)
+        px = jnp.array([[0.0, 5.0, 2.0]])
+        py = jnp.array([[0.0, 3.0, 1.0]])
+        got = bilinear_sample(feat, px, py)[0, :, 0]
+        np.testing.assert_allclose(np.asarray(got), [0.0, 23.0, 8.0],
+                                   atol=1e-6)
+
+    def test_mask_semantics(self):
+        # Strictly inside [0, W-1] x [0, H-1] (reference bundlenet.py:155).
+        m = inbounds_mask(jnp.array([[-0.1, 0.0, 4.0, 4.1]]),
+                          jnp.array([[1.0, 1.0, 1.0, 1.0]]), 8, 5)
+        np.testing.assert_allclose(np.asarray(m[0]), [0, 1, 1, 0])
+
+    def test_differentiable_in_points(self):
+        feat = jnp.arange(36.0).reshape(1, 6, 6, 1)
+
+        def f(px):
+            return bilinear_sample(feat, px[None, None], jnp.array([[2.3]])).sum()
+
+        g = jax.grad(f)(jnp.asarray(2.5))
+        # d/dx of a bilinear interpolant along x = horizontal difference = 1.
+        np.testing.assert_allclose(float(g), 1.0, atol=1e-5)
+
+    def test_with_mask_wrapper(self):
+        feat = jnp.ones((1, 4, 4, 2))
+        vals, mask = bilinear_sample_with_mask(
+            feat, jnp.array([[1.0, 9.0]]), jnp.array([[1.0, 1.0]]))
+        assert vals.shape == (1, 2, 2)
+        np.testing.assert_allclose(np.asarray(mask[0]), [1.0, 0.0])
+
+
+class TestNormalEquations:
+    def _dense_reference(self, J, G, r, mask=None):
+        # Direct definition: M_n = G_n J_n ; AtA = sum M^T M ; Atb = sum M^T r.
+        M = np.einsum("bnci,bnip->bncp", G, J)
+        if mask is not None:
+            M = M * mask[..., None, None]
+            r = r * mask[..., None]
+        AtA = np.einsum("bncp,bncq->bpq", M, M)
+        # With binary mask, mask^2 == mask, matching the single-mask fold.
+        Atb = np.einsum("bncp,bnc->bp", M, r)
+        return AtA, Atb
+
+    def test_matches_dense_reference(self):
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 3)
+        B, N, C, P = 2, 37, 5, 8
+        J = jax.random.normal(ks[0], (B, N, 2, P))
+        G = jax.random.normal(ks[1], (B, N, C, 2))
+        r = jax.random.normal(ks[2], (B, N, C))
+        AtA, Atb = build_normal_equations(J, G, r)
+        AtA_ref, Atb_ref = self._dense_reference(
+            np.asarray(J), np.asarray(G), np.asarray(r))
+        np.testing.assert_allclose(np.asarray(AtA), AtA_ref, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Atb), Atb_ref, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_mask(self):
+        key = jax.random.PRNGKey(1)
+        ks = jax.random.split(key, 4)
+        B, N, C, P = 1, 16, 3, 6
+        J = jax.random.normal(ks[0], (B, N, 2, P))
+        G = jax.random.normal(ks[1], (B, N, C, 2))
+        r = jax.random.normal(ks[2], (B, N, C))
+        mask = (jax.random.uniform(ks[3], (B, N)) > 0.5).astype(jnp.float32)
+        AtA, Atb = build_normal_equations(J, G, r, mask=mask)
+        AtA_ref, Atb_ref = self._dense_reference(
+            np.asarray(J), np.asarray(G), np.asarray(r), np.asarray(mask))
+        np.testing.assert_allclose(np.asarray(AtA), AtA_ref, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Atb), Atb_ref, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_gradcheck_vs_dense(self):
+        # The autodiff VJP of the einsum formulation must equal the VJP
+        # of the dense definition — this is the capability the reference
+        # hand-wrote 275 lines of CUDA for (utils.cu:420-694).
+        key = jax.random.PRNGKey(2)
+        ks = jax.random.split(key, 3)
+        B, N, C, P = 1, 9, 4, 7
+        J = jax.random.normal(ks[0], (B, N, 2, P))
+        G = jax.random.normal(ks[1], (B, N, C, 2))
+        r = jax.random.normal(ks[2], (B, N, C))
+
+        def loss_ours(J, G, r):
+            AtA, Atb = build_normal_equations(J, G, r)
+            return (jnp.sin(AtA).sum() + (Atb ** 2).sum())
+
+        def loss_dense(J, G, r):
+            M = jnp.einsum("bnci,bnip->bncp", G, J)
+            AtA = jnp.einsum("bncp,bncq->bpq", M, M)
+            Atb = jnp.einsum("bncp,bnc->bp", M, r)
+            return (jnp.sin(AtA).sum() + (Atb ** 2).sum())
+
+        g1 = jax.grad(loss_ours, argnums=(0, 1, 2))(J, G, r)
+        g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(J, G, r)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+class TestDampedSolve:
+    def test_solves_spd_system(self):
+        key = jax.random.PRNGKey(0)
+        A0 = jax.random.normal(key, (3, 6, 6))
+        AtA = A0 @ jnp.swapaxes(A0, -1, -2) + 0.1 * jnp.eye(6)
+        x_true = jax.random.normal(jax.random.PRNGKey(1), (3, 6))
+        Atb = jnp.einsum("bij,bj->bi", AtA, x_true)
+        x = damped_solve(AtA, Atb, lam=jnp.zeros((3,)), diag_floor=0.0)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_damping_matches_reference_formula(self):
+        # AtA + diag((diag+1e-5)*lam) then solve (bundlenet.py:181-183).
+        key = jax.random.PRNGKey(2)
+        A0 = jax.random.normal(key, (1, 4, 4))
+        AtA = A0 @ jnp.swapaxes(A0, -1, -2) + jnp.eye(4)
+        Atb = jnp.ones((1, 4))
+        lam = jnp.array([0.7])
+        x = damped_solve(AtA, Atb, lam, diag_floor=1e-5)
+        d = jnp.diagonal(AtA, axis1=-2, axis2=-1)
+        A_damped = AtA[0] + jnp.diag((d[0] + 1e-5) * 0.7)
+        x_ref = jnp.linalg.solve(A_damped, Atb[0])
+        np.testing.assert_allclose(np.asarray(x[0]), np.asarray(x_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_damp_last_false(self):
+        # Reference bundle quirk (bundlenet.py:266).
+        AtA = jnp.eye(3)[None] * 2.0
+        Atb = jnp.ones((1, 3))
+        lam = jnp.array([1.0])
+        x = damped_solve(AtA, Atb, lam, diag_floor=0.0, damp_last=False)
+        # First two entries: 1/(2+2), last: 1/2.
+        np.testing.assert_allclose(np.asarray(x[0]), [0.25, 0.25, 0.5],
+                                   atol=1e-5)
+
+
+class TestUpsample:
+    def test_partition_of_unity(self):
+        x = jnp.ones((1, 5, 7, 3))
+        y = upsample2x_bilinear(x)
+        assert y.shape == (1, 10, 14, 3)
+        np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
+
+    def test_linear_ramp_interior(self):
+        # A linear ramp must upsample to a linear ramp (half the slope)
+        # away from borders.
+        x = jnp.arange(8.0).reshape(1, 1, 8, 1) * jnp.ones((1, 6, 1, 1))
+        y = upsample2x_bilinear(x)
+        interior = np.asarray(y[0, 5, 4:12, 0])
+        diffs = np.diff(interior)
+        np.testing.assert_allclose(diffs, 0.5, atol=1e-5)
+
+    def test_kernel_values_match_reference(self):
+        from banet_tpu.ops.upsample import _KERNEL_2D
+        expected = np.array([[0.0625, 0.1875, 0.1875, 0.0625],
+                             [0.1875, 0.5625, 0.5625, 0.1875],
+                             [0.1875, 0.5625, 0.5625, 0.1875],
+                             [0.0625, 0.1875, 0.1875, 0.0625]])
+        np.testing.assert_allclose(_KERNEL_2D, expected)
