@@ -25,8 +25,11 @@ class SolverConfig:
     re-warped residual does not decrease.
     """
 
-    # Max GN iterations per pyramid level, coarse -> fine.
-    level_iters: Tuple[int, ...] = (5, 8, 12)
+    # Max GN iterations per pyramid level, coarse -> fine.  The flagship
+    # has 4 levels (the legacy tracker's 3-level point is [5, 8, 12],
+    # legacy/example.py:83; the extra coarsest level gets a short
+    # budget).
+    level_iters: Tuple[int, ...] = (2, 5, 8, 12)
     # Early-termination thresholds (legacy/ba.py:6-7). An iteration whose
     # rotation update is below `angle_change` AND translation update below
     # `translation_change` freezes the remaining iterations of the scan.
@@ -75,6 +78,9 @@ class ModelConfig:
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     bn_momentum: float = 0.95  # reference enc.py:5 _BATCH_NORM_DECAY
     bn_epsilon: float = 1e-5  # reference enc.py:6
+    # Damping-net exponent base: lambda = |r|^(base + tanh); 2.0 in the
+    # current BundleNet (bundlenet.py:173), 1.0 legacy (legacy/ba.py:274).
+    damping_exponent_base: float = 2.0
     # Compute dtype for conv stacks; params/stats stay float32.
     compute_dtype: str = "bfloat16"
 
@@ -154,7 +160,9 @@ def legacy_tracker_config() -> Config:
     (legacy/ba.py:441: 1024 points; legacy/example.py:83 iters [5,8,12];
     3 pyramid levels from legacy/feat.py:240-271)."""
     return Config(
-        model=ModelConfig(backbone="drn54", pyramid_levels=3),
-        solver=SolverConfig(level_iters=(5, 8, 12)),
+        model=ModelConfig(backbone="drn54", pyramid_levels=3,
+                          damping_exponent_base=1.0),
+        solver=SolverConfig(level_iters=(5, 8, 12),
+                            renormalize_residual=True),
         geometry=GeometryConfig(normalized_rays=False),
     )

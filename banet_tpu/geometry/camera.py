@@ -79,13 +79,24 @@ def backproject(points2d: jnp.ndarray, intr: Intrinsics,
     return p
 
 
+_MIN_ABS_Z = 1e-6
+
+
 def project(X: jnp.ndarray, intr: Intrinsics) -> Tuple[jnp.ndarray, ...]:
     """Camera-frame points -> pixels.
 
     X: (..., N, 3).  Returns (px, py, x, y, z) where (x, y) = (X/Z, Y/Z)
     are the normalized image coordinates the Jacobians need (reference
-    bundlenet.py:140-148)."""
-    z = X[..., 2]
+    bundlenet.py:140-148).  Z is clamped away from 0 so that degenerate
+    points (behind/at the camera, possible with untrained depth nets)
+    produce large-but-finite coordinates that the in-bounds mask then
+    rejects, instead of NaNs that would poison the normal equations —
+    the reference divides unguarded (bundlenet.py:144) and relies on
+    trained weights never hitting this.
+    """
+    z_raw = X[..., 2]
+    z = jnp.where(z_raw >= 0, jnp.maximum(z_raw, _MIN_ABS_Z),
+                  jnp.minimum(z_raw, -_MIN_ABS_Z))
     x = X[..., 0] / z
     y = X[..., 1] / z
     px = intr.fx[..., None] * x + intr.cx[..., None]

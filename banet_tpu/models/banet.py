@@ -1,0 +1,211 @@
+"""The flagship BANet model: encoder + pyramid + depth-basis decoder +
+differentiable BA layers, as one Flax module.
+
+This is the TPU-native re-design of the reference's full graph
+(SURVEY.md §3.1-3.3): where the reference wires DRN -> Pyramid ->
+track/BundleResize inside a TF1 session (legacy/ba.py:441-468,
+bundlenet.py:280-399), here one ``nn.Module`` owns the submodules and
+exposes pure methods; ``module.apply`` + ``jax.jit`` replaces graph
+construction + ``session.run``.
+
+Methods:
+  features(images)        -> pyramid feature maps, coarse -> fine
+  depth_basis(images)     -> (init depth, K-channel basis) at 1/2 res
+  pose_track(...)         -> CameraResize equivalent (bundlenet.py:280)
+  bundle_adjust(...)      -> BundleResize equivalent (bundlenet.py:332)
+
+Pairing is explicit (ref, tgt) arrays rather than the reference's
+batch-rotation trick (bundlenet.py:321: pairing frame i with i+B/2 by
+rolling the batch — SURVEY.md §7 design translation table).
+
+Damping nets are shared per level between the pose and bundle solvers,
+matching the reference's AUTO_REUSE variable scopes ("lambda_<level>_*",
+bundlenet.py:168,244).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from banet_tpu.ba.bundle_solver import depth_map_from_basis, \
+    solve_bundle_pyramid
+from banet_tpu.ba.camera_solver import solve_pose_level, solve_pose_pyramid
+from banet_tpu.config import Config
+from banet_tpu.geometry.camera import Intrinsics, backproject
+from banet_tpu.models.damping import DampingNet
+from banet_tpu.models.dla import DLA
+from banet_tpu.models.drn import DRN
+from banet_tpu.models.pyramid import FeaturePyramid
+from banet_tpu.ops.grad2d import append_spatial_gradient
+from banet_tpu.ops.resample import bilinear_sample
+
+
+class BANet(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        mc = self.cfg.model
+        dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32
+        self.encoder = DRN(variant=mc.backbone, channels=mc.channels,
+                           image_mean=mc.image_mean, image_std=mc.image_std,
+                           include_layer1=True, dtype=dtype)
+        self.fpn = FeaturePyramid(levels=mc.pyramid_levels,
+                                  features=mc.pyramid_channels, dtype=dtype)
+        self.dla = DLA(normalize_basis=mc.basis_normalized, dtype=dtype)
+        self.damping_nets = [
+            DampingNet(mc.pyramid_channels,
+                       exponent_base=mc.damping_exponent_base,
+                       name=f"damping_{i}")
+            for i in range(mc.pyramid_levels)
+        ]
+
+    # ---------------- feature extraction ----------------
+
+    def backbone(self, images: jnp.ndarray, train: bool = False):
+        return self.encoder(images, train)
+
+    def features(self, images: jnp.ndarray,
+                 train: bool = False) -> List[jnp.ndarray]:
+        """(B, H, W, 3) in [0,255] -> pyramid maps coarse -> fine, each
+        float32 (the GN math runs in f32; conv stacks run in bf16)."""
+        layers = self.encoder(images, train)
+        pyr = self.fpn(layers, train)
+        return [p.astype(jnp.float32) for p in pyr]
+
+    def depth_basis(self, images: jnp.ndarray, train: bool = False):
+        """(B, H, W, 3) -> (depth (B,H/2,W/2,1), basis (B,H/2,W/2,K))."""
+        layers = self.encoder(images, train)
+        return self.dla(layers[:5], train)
+
+    # ---------------- solver plumbing ----------------
+
+    def _level_inputs(self, feats_ref, feats_tgt, points, intr, levels):
+        """Per-level (sampled ref feats, tgt feats+grads, intrinsics).
+
+        ``levels`` indexes the coarse->fine pyramid; level i sits at
+        scale 2^(L-1-i) (reference bundlenet.py:309-315)."""
+        L = self.cfg.model.pyramid_levels
+        ref_l, tgt_l, intr_l = [], [], []
+        for lvl in levels:
+            scale = 2 ** (L - 1 - lvl)
+            pts = points / scale
+            ref_l.append(bilinear_sample(feats_ref[lvl], pts[..., 0],
+                                         pts[..., 1]))
+            tgt_l.append(append_spatial_gradient(feats_tgt[lvl]))
+            intr_l.append(intr.scale(1.0 / scale))
+        return ref_l, tgt_l, intr_l
+
+    def _damping_fns(self, levels):
+        fns = []
+        for lvl in levels:
+            net = self.damping_nets[lvl]
+            if self.is_initializing():
+                # Touch the net outside the solver's lax.scan so params
+                # are created eagerly; creating them inside the scan body
+                # leaks tracers out of the scan trace.
+                net(jnp.zeros((1, self.cfg.model.pyramid_channels)))
+            fns.append(net)
+        return fns
+
+    # ---------------- BA layers ----------------
+
+    def pose_track(self, image_ref: jnp.ndarray, image_tgt: jnp.ndarray,
+                   intr: Intrinsics, points: jnp.ndarray,
+                   point_depths: jnp.ndarray,
+                   R0: Optional[jnp.ndarray] = None,
+                   t0: Optional[jnp.ndarray] = None,
+                   train: bool = False):
+        """Coarse-to-fine pose-only tracking (CameraResize equivalent,
+        reference bundlenet.py:280-329, without the train-crop remap —
+        apply geometry.crop_remap upstream when training on crops).
+
+        Args:
+          image_ref/image_tgt: (B, H, W, 3) uint8-range images.
+          intr: batched Intrinsics for the full-resolution grid.
+          points: (B, N, 2) full-res pixel coords in the reference view.
+          point_depths: (B, N) depths at the points (sensor depth in the
+            tracker; sampled net depth in training).
+        Returns: (R, t, aux) — aux.keep_ratio is the keyframe health
+          signal.
+        """
+        B = image_ref.shape[0]
+        if R0 is None:
+            R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        if t0 is None:
+            t0 = jnp.zeros((B, 3))
+        feats_ref = self.features(image_ref, train)
+        feats_tgt = self.features(image_tgt, train)
+        levels = list(range(self.cfg.model.pyramid_levels))
+        ref_l, tgt_l, intr_l = self._level_inputs(
+            feats_ref, feats_tgt, points, intr, levels)
+        rays = backproject(points, intr,
+                           normalized=self.cfg.geometry.normalized_rays)
+        return solve_pose_pyramid(
+            ref_l, tgt_l, rays, point_depths, R0, t0, intr_l,
+            self._damping_fns(levels), self.cfg.solver,
+            renormalize_residual=self.cfg.solver.renormalize_residual)
+
+    def bundle_adjust(self, image_ref: jnp.ndarray, image_tgt: jnp.ndarray,
+                      intr: Intrinsics, points: jnp.ndarray,
+                      R0: Optional[jnp.ndarray] = None,
+                      t0: Optional[jnp.ndarray] = None,
+                      train: bool = False,
+                      levels: Tuple[int, ...] = (2, 3)):
+        """Joint pose + depth BA (BundleResize equivalent, reference
+        bundlenet.py:332-399): predict depth + basis for the reference
+        frame, then refine pose and basis coefficients on the finest
+        pyramid levels.
+
+        Returns dict with per-level poses, final (R, t, W), the initial
+        and refined full depth maps, and the basis.
+        """
+        B = image_ref.shape[0]
+        if R0 is None:
+            R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        if t0 is None:
+            t0 = jnp.zeros((B, 3))
+
+        feats_ref = self.features(image_ref, train)
+        feats_tgt = self.features(image_tgt, train)
+        depth_map, basis_map = self.depth_basis(image_ref, train)
+
+        # Sample init depth (gradient stopped, reference bundlenet.py:341)
+        # and basis at the points; the depth/basis maps live at 1/2 res.
+        pts_half = points / 2.0
+        d0 = bilinear_sample(jax.lax.stop_gradient(depth_map),
+                             pts_half[..., 0], pts_half[..., 1])[..., 0]
+        # Floor the sampled depth: the ReLU depth head can emit exact
+        # zeros (certain for untrained weights), which would put points
+        # at the camera center.
+        d0 = jnp.maximum(d0, 0.01)
+        b = bilinear_sample(basis_map, pts_half[..., 0], pts_half[..., 1])
+
+        ref_l, tgt_l, intr_l = self._level_inputs(
+            feats_ref, feats_tgt, points, intr, list(levels))
+        rays = backproject(points, intr,
+                           normalized=self.cfg.geometry.normalized_rays)
+        R, t, W, per_level = solve_bundle_pyramid(
+            ref_l, tgt_l, rays, d0, b, R0, t0, intr_l,
+            self._damping_fns(list(levels)), self.cfg.solver,
+            iters_per_level=(1,) * len(levels))
+        refined_depth = depth_map_from_basis(depth_map, basis_map, W)
+        return dict(R=R, t=t, W=W, per_level=per_level,
+                    init_depth_map=depth_map, basis_map=basis_map,
+                    refined_depth_map=refined_depth)
+
+    def __call__(self, image_ref, image_tgt, intr, points, train=False):
+        """Init/forward path touching every submodule (all pyramid-level
+        damping nets and the decoder), so ``module.init`` creates the
+        complete parameter tree."""
+        B, N = points.shape[0], points.shape[1]
+        depths = jnp.ones((B, N), dtype=jnp.float32)
+        R, t, aux = self.pose_track(image_ref, image_tgt, intr, points,
+                                    depths, train=train)
+        out = self.bundle_adjust(image_ref, image_tgt, intr, points,
+                                 R0=R, t0=t, train=train)
+        out.update(pose_R=R, pose_t=t, pose_aux=aux)
+        return out

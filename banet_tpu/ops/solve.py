@@ -6,20 +6,20 @@ Equivalent of the reference's damping + solve step:
   - bundle: same but the LAST diagonal entry is left undamped
     (reference bundlenet.py:266: concat([diag[:-1]+1e-5, zeros])).
 
-We solve in float32 via Cholesky (the damped system is symmetric
-positive definite by construction) with an LU fallback when Cholesky
-produces non-finite values; both lower to batched XLA linalg that runs
-fine on TPU for these tiny (<= ~40x40) systems.  Gradients flow through
-``jax.scipy.linalg.cho_solve`` / ``jnp.linalg.solve`` natively — the
-stable-gradient concern SURVEY.md §7 lists as hard part #3.
+We solve in float32 via batched LU (``jnp.linalg.solve`` — the same
+factorization family as the reference's ``tf.matrix_solve``); the
+systems are tiny (<= ~40x40) and batched, so the solve is negligible
+next to the feature convs.  Gradients flow through ``jnp.linalg.solve``
+natively — the stable-gradient concern SURVEY.md §7 lists as hard part
+#3 — with a NaN-safe recompute guard documented on ``damped_solve``.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 
 def apply_lm_damping(AtA: jnp.ndarray, lam: jnp.ndarray,
@@ -43,14 +43,25 @@ def apply_lm_damping(AtA: jnp.ndarray, lam: jnp.ndarray,
 def damped_solve(AtA: jnp.ndarray, Atb: jnp.ndarray, lam: jnp.ndarray,
                  diag_floor: float = 1e-5, damp_last: bool = True,
                  dtype=jnp.float32) -> jnp.ndarray:
-    """Solve (AtA + damping) x = Atb.  Atb: (..., P) -> x: (..., P)."""
+    """Solve (AtA + damping) x = Atb.  Atb: (..., P) -> x: (..., P).
+
+    Singular/degenerate systems (e.g. every point masked out) return a
+    zero update instead of non-finite values.  The guard uses the
+    "probe then recompute on sanitized operands" pattern: a plain
+    ``where`` on the output is not enough because reverse-mode AD
+    multiplies the untaken branch's NaN primals by zero cotangents,
+    which is still NaN — and gradients must flow through this solve for
+    end-to-end training (SURVEY.md §7 hard part #3).
+    """
     A = apply_lm_damping(AtA.astype(dtype), lam.astype(dtype), diag_floor,
                          damp_last)
     b = Atb.astype(dtype)[..., None]
-    L = jsl.cholesky(A, lower=True)
-    x_chol = jsl.cho_solve((L, True), b)
-    ok = jnp.all(jnp.isfinite(x_chol), axis=(-2, -1), keepdims=True)
-    # LU fallback for indefinite corners (e.g. the undamped last diagonal
-    # entry of the bundle system can make A barely non-PD).
-    x_lu = jnp.linalg.solve(A, b)
-    return jnp.where(ok, x_chol, x_lu)[..., 0]
+    P = A.shape[-1]
+    eye = jnp.eye(P, dtype=dtype)
+    # Probe solve (non-differentiated) to detect singular systems.
+    probe = jnp.linalg.solve(jax.lax.stop_gradient(A),
+                             jax.lax.stop_gradient(b))
+    ok = jnp.all(jnp.isfinite(probe), axis=(-2, -1), keepdims=True)
+    A_safe = jnp.where(ok, A, eye)  # ok: (..., 1, 1) broadcasts over PxP
+    x = jnp.linalg.solve(A_safe, b)
+    return jnp.where(ok, x, jnp.zeros_like(x))[..., 0]

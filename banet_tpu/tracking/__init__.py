@@ -1,0 +1,2 @@
+from banet_tpu.tracking.tracker import TwoViewTracker  # noqa: F401
+from banet_tpu.tracking.odometry import OdometryRunner  # noqa: F401

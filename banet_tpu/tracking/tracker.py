@@ -1,0 +1,94 @@
+"""Two-view tracker: the user-facing tracking API.
+
+Equivalent of the reference ``Tracker`` (legacy/ba.py:441-482): where it
+builds a TF1 graph + InteractiveSession and feeds placeholders, here a
+``BANet`` module is bound to parameters and the track function is
+``jax.jit``-compiled once per input signature.
+
+Usage:
+    tracker = TwoViewTracker(cfg, variables)           # or .initialize()
+    R, t, keep_ratio = tracker.track(img1, img2, K, points, depths,
+                                     initR, initT)
+
+Inputs mirror trackPY (legacy/ba.py:470-482): numpy arrays, intrinsics
+as [fx, fy, cx, cy]; leading batch axes optional (added if missing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from banet_tpu.config import Config, default_config
+from banet_tpu.geometry.camera import Intrinsics
+from banet_tpu.models.banet import BANet
+
+
+class TwoViewTracker:
+    def __init__(self, cfg: Config, variables):
+        self.cfg = cfg
+        self.model = BANet(cfg)
+        self.variables = variables
+
+        @jax.jit
+        def _track(variables, img1, img2, k, points, depths, R0, t0):
+            intr = Intrinsics.from_array(k)
+            R, t, aux = self.model.apply(
+                variables, img1, img2, intr, points, depths, R0, t0,
+                method=self.model.pose_track)
+            return R, t, aux.keep_ratio
+
+        self._track = _track
+
+    @classmethod
+    def initialize(cls, cfg: Optional[Config] = None, seed: int = 0,
+                   image_size: Tuple[int, int] = (256, 320),
+                   num_points: int = 1024) -> "TwoViewTracker":
+        """Fresh (untrained) tracker — e.g. for benchmarks and tests."""
+        cfg = cfg or default_config()
+        model = BANet(cfg)
+        H, W = image_size
+        k = jax.random.PRNGKey(seed)
+        img = jnp.zeros((1, H, W, 3))
+        intr = Intrinsics(jnp.array([W * 0.8]), jnp.array([W * 0.8]),
+                          jnp.array([W / 2.0]), jnp.array([H / 2.0]))
+        pts = jnp.full((1, num_points, 2), 8.0)
+        variables = model.init(k, img, img, intr, pts)
+        return cls(cfg, variables)
+
+    def track(self, image1, image2, intrinsics, points, depths,
+              initR=None, initT=None):
+        """Returns (R (B,3,3), t (B,3), keep_ratio (B,)) as numpy.
+
+        Accepts unbatched (H, W, 3) images / (N, 2) points etc. like the
+        reference's feed_dict shapes; batches are added as needed.
+        """
+        img1 = _batched(image1, 4)
+        img2 = _batched(image2, 4)
+        pts = _batched(np.asarray(points, np.float32), 3)
+        d = np.asarray(depths, np.float32)
+        if d.ndim == 3:  # (B, N, 1) reference layout
+            d = d[..., 0]
+        d = _batched(d, 2)
+        k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
+        B = img1.shape[0]
+        if initR is None:
+            initR = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        if initT is None:
+            initT = np.zeros((B, 3), np.float32)
+        initR = _batched(np.asarray(initR, np.float32), 3)
+        initT = np.asarray(initT, np.float32).reshape(B, -1)[:, :3]
+        R, t, keep = self._track(self.variables, img1, img2, k, pts, d,
+                                 initR, initT)
+        return np.asarray(R), np.asarray(t), np.asarray(keep)
+
+
+def _batched(x, ndim: int):
+    x = jnp.asarray(x)
+    while x.ndim < ndim:
+        x = x[None]
+    return x

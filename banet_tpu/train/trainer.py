@@ -1,0 +1,115 @@
+"""Training loop: optax optimizer + jitted train step + data parallelism.
+
+All new design — the reference ships no training code (SURVEY.md
+"Critical context").  The step is a pure function over a ``TrainState``
+pytree; data parallelism is expressed with ``jax.sharding`` constraints
+over a named mesh (see parallel/), so the same step runs on 1 chip or a
+pod slice unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from banet_tpu.config import Config
+from banet_tpu.data.synthetic import make_synthetic_image_pair
+from banet_tpu.geometry.camera import Intrinsics
+from banet_tpu.models.banet import BANet
+from banet_tpu.train import losses as L
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    tx = optax.adamw(cfg.train.learning_rate,
+                     weight_decay=cfg.train.weight_decay)
+    return optax.chain(optax.clip_by_global_norm(10.0), tx)
+
+
+def create_train_state(cfg: Config, rng, image_size=(64, 96),
+                       num_points: int = 32) -> Tuple[BANet, TrainState]:
+    model = BANet(cfg)
+    H, W = image_size
+    img = jnp.zeros((1, H, W, 3))
+    intr = Intrinsics(jnp.array([W * 0.9]), jnp.array([W * 0.9]),
+                      jnp.array([W / 2.0]), jnp.array([H / 2.0]))
+    pts = jnp.full((1, num_points, 2), 8.0)
+    variables = model.init(rng, img, img, intr, pts)
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    return model, state
+
+
+def make_train_step(model: BANet, cfg: Config
+                    ) -> Callable[[TrainState, Dict], Tuple[TrainState,
+                                                            Dict]]:
+    """Build the (jittable) train step.
+
+    batch dict: image1/image2 (B,H,W,3), intr_array (B,4), points
+    (B,N,2), R_gt (B,3,3), t_gt (B,3), depth_gt (B,H,W),
+    valid_mask (B,H,W).
+    """
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch):
+        intr = Intrinsics.from_array(batch["intr_array"])
+        outputs, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image1"], batch["image2"], intr, batch["points"],
+            train=True, method=model.bundle_adjust,
+            mutable=["batch_stats"])
+        terms = L.total_loss(outputs, batch, intr, cfg.train,
+                             cfg.geometry.normalized_rays)
+        return terms["total"], (terms, updates["batch_stats"])
+
+    def train_step(state: TrainState, batch: Dict):
+        (loss, (terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        metrics = {k: v for k, v in terms.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def synthetic_batch(key, batch: int = 2, height: int = 64, width: int = 96,
+                    num_points: int = 64) -> Dict:
+    """Self-contained training batch from the synthetic renderer (no
+    datasets available in this environment; real-data batches come from
+    data/tum.py + data/points.py with identical keys)."""
+    pair = make_synthetic_image_pair(key, batch, height, width)
+    k2 = jax.random.split(key, 2)[1]
+    pts = jnp.stack([
+        jax.random.uniform(k2, (batch, num_points), minval=6.0,
+                           maxval=width - 6.0),
+        jax.random.uniform(jax.random.fold_in(k2, 1), (batch, num_points),
+                           minval=6.0, maxval=height - 6.0),
+    ], axis=-1)
+    return dict(
+        image1=pair["image1"], image2=pair["image2"],
+        intr_array=pair["intr"].as_array(),
+        points=pts,
+        R_gt=pair["R_true"], t_gt=pair["t_true"],
+        depth_gt=pair["depth"],
+        valid_mask=jnp.ones_like(pair["depth"]),
+    )

@@ -1,0 +1,101 @@
+"""Point selection, TUM loading, and sequence odometry smoke tests."""
+
+import numpy as np
+import pytest
+
+from banet_tpu.data.points import (select_covisible_points, select_points,
+                                   sobel_magnitude)
+from banet_tpu.data.tum import TumSequence, intrinsics_for_sequence, \
+    write_fake_sequence
+
+
+class TestPoints:
+    def test_sobel_on_ramp(self):
+        # Horizontal ramp: |gx| = 8 * slope, gy = 0 (Sobel weight sum).
+        img = np.tile(np.arange(16.0)[None, :, None], (12, 1, 1))
+        mag = sobel_magnitude(img)
+        np.testing.assert_allclose(mag[4:8, 4:12], 8.0, atol=1e-4)
+
+    def test_select_points_prefers_texture(self):
+        rng = np.random.default_rng(0)
+        img = np.zeros((32, 48, 3), np.float32)
+        img[:, 24:, :] = 255.0  # strong vertical edge at x=24
+        depth = np.ones((32, 48), np.float32)
+        pts, d = select_points(img, depth, 64, texture_threshold=100.0,
+                               rng=rng)
+        assert pts.shape == (1, 64, 2) and d.shape == (1, 64, 1)
+        # All selected points hug the edge.
+        assert np.all(np.abs(pts[0, :, 0] - 23.5) < 2.0)
+        np.testing.assert_allclose(d, 1.0)
+
+    def test_select_points_requires_valid_depth(self):
+        rng = np.random.default_rng(1)
+        img = 255.0 * rng.random((16, 16, 3)).astype(np.float32)
+        depth = np.zeros((16, 16), np.float32)
+        depth[4:8, 4:8] = 2.0
+        pts, d = select_points(img, depth, 32, texture_threshold=1.0,
+                               rng=rng)
+        assert np.all(d > 0)
+        assert np.all((pts[0, :, 0] >= 4) & (pts[0, :, 0] < 8))
+
+    def test_covisible_identity_motion(self):
+        rng = np.random.default_rng(2)
+        img = 255.0 * rng.random((32, 48, 3)).astype(np.float32)
+        depth = np.full((32, 48), 2.0, np.float32)
+        K = np.array([40.0, 40.0, 24.0, 16.0])
+        pts, d = select_covisible_points(
+            img, img, depth, depth, np.eye(3), np.zeros(3), K, 32,
+            texture_threshold=1.0, rng=rng)
+        assert pts.shape == (1, 32, 2)
+        np.testing.assert_allclose(d, 2.0)
+
+
+class TestTum:
+    def test_intrinsics_table(self):
+        k = intrinsics_for_sequence("rgbd_dataset_freiburg1_desk")
+        np.testing.assert_allclose(k, [517.3, 516.5, 318.6, 255.3])
+        k3 = intrinsics_for_sequence("/x/rgbd_dataset_freiburg3_office/")
+        np.testing.assert_allclose(k3, [535.4, 539.2, 320.1, 247.6])
+
+    def test_fake_sequence_roundtrip(self, tmp_path):
+        seq = write_fake_sequence(str(tmp_path / "seq"), num_frames=5)
+        assert len(seq) == 5
+        f = seq[0]
+        rgb = f.load_rgb()
+        depth = f.load_depth()
+        assert rgb.shape == (64, 96, 3)
+        assert depth.shape == (64, 96)
+        assert 0.9 < depth.min() and depth.max() < 4.1  # /5000 scaling
+        assert f.gt_pose is not None
+        gt = seq.groundtruth_trajectory()
+        assert len(gt) == 5
+        # GT x positions advance 1 cm per frame (write_fake_sequence).
+        np.testing.assert_allclose(np.diff(gt.positions[:, 0]), 0.01,
+                                   atol=1e-6)
+
+
+@pytest.mark.slow
+class TestOdometry:
+    def test_odometry_smoke(self, tmp_path):
+        """Untrained-model odometry over a tiny synthetic sequence:
+        checks the frame loop, keyframe policy plumbing, and TUM-format
+        trajectory output end-to-end."""
+        import jax.numpy as jnp
+
+        from banet_tpu.config import Config, ModelConfig, SolverConfig
+        from banet_tpu.tracking import OdometryRunner, TwoViewTracker
+
+        cfg = Config(
+            model=ModelConfig(backbone="drn22", compute_dtype="float32"),
+            solver=SolverConfig(level_iters=(1, 1, 1, 1)),
+        )
+        tracker = TwoViewTracker.initialize(cfg, image_size=(64, 96),
+                                            num_points=32)
+        seq = write_fake_sequence(str(tmp_path / "seq"), num_frames=4)
+        runner = OdometryRunner(tracker, num_points=32,
+                                texture_threshold=10.0)
+        frames = ((f.timestamp, f.load_rgb(), f.load_depth()) for f in seq)
+        traj, stats = runner.run(frames, seq.intrinsics)
+        assert len(traj) == 4
+        assert stats.num_keyframes >= 1
+        assert np.all(np.isfinite(traj.poses))

@@ -1,0 +1,91 @@
+"""Losses and the training step (smoke: finite losses, flowing grads,
+state updates)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from banet_tpu.config import Config, ModelConfig, SolverConfig
+from banet_tpu.geometry.camera import Intrinsics
+from banet_tpu.geometry.se3 import exp_so3
+from banet_tpu.train import (create_train_state, loss_depth_l1, loss_flow,
+                             loss_rotation, loss_translation,
+                             loss_translation_angular, make_train_step,
+                             synthetic_batch)
+
+
+class TestLosses:
+    def test_rotation_zero_at_identity_pair(self):
+        R = exp_so3(jnp.array([[0.3, -0.2, 0.1]]))
+        assert float(loss_rotation(R, R)) < 1e-6
+
+    def test_rotation_sign_invariance(self):
+        # q and -q encode the same rotation; the loss must not care.
+        R1 = exp_so3(jnp.array([[3.0, 0.5, 0.0]]))  # angle > pi/2
+        assert float(loss_rotation(R1, R1)) < 1e-5
+
+    def test_rotation_monotone_in_angle(self):
+        Rg = exp_so3(jnp.zeros((1, 3)))
+        small = float(loss_rotation(exp_so3(jnp.array([[0.1, 0, 0]])), Rg))
+        big = float(loss_rotation(exp_so3(jnp.array([[0.5, 0, 0]])), Rg))
+        assert 0 < small < big
+
+    def test_translation(self):
+        t1 = jnp.array([[1.0, 2.0, 3.0]])
+        t2 = jnp.array([[1.0, 2.0, 4.0]])
+        np.testing.assert_allclose(float(loss_translation(t1, t2)), 1 / 3,
+                                   rtol=1e-6)
+        assert float(loss_translation_angular(t1, t1)) < 1e-6
+
+    def test_flow_zero_for_equal_pose(self):
+        intr = Intrinsics(jnp.array([50.0]), jnp.array([50.0]),
+                          jnp.array([32.0]), jnp.array([24.0]))
+        depth = jnp.full((1, 48, 64), 2.0)
+        mask = jnp.ones_like(depth)
+        R = exp_so3(jnp.array([[0.05, 0.0, 0.0]]))
+        t = jnp.array([[0.1, 0.0, 0.0]])
+        assert float(loss_flow(intr, depth, mask, R, t, R, t)) < 1e-6
+        # And positive when poses differ.
+        R2 = exp_so3(jnp.array([[0.06, 0.0, 0.0]]))
+        assert float(loss_flow(intr, depth, mask, R2, t, R, t)) > 1e-5
+
+    def test_flow_mask_renormalization(self):
+        intr = Intrinsics(jnp.array([50.0]), jnp.array([50.0]),
+                          jnp.array([32.0]), jnp.array([24.0]))
+        depth = jnp.full((1, 48, 64), 2.0)
+        R = exp_so3(jnp.array([[0.02, 0.0, 0.0]]))
+        Rg = exp_so3(jnp.zeros((1, 3)))
+        t = jnp.zeros((1, 3))
+        full = loss_flow(intr, depth, jnp.ones_like(depth), R, t, Rg, t)
+        half_mask = jnp.ones_like(depth).at[:, :, 32:].set(0.0)
+        half = loss_flow(intr, depth, half_mask, R, t, Rg, t)
+        # Renormalization keeps magnitudes comparable (same order).
+        assert 0.2 < float(half / full) < 5.0
+
+    def test_depth_l1(self):
+        d = jnp.full((1, 4, 4), 2.0)
+        assert float(loss_depth_l1(d, d)) < 1e-7
+        assert float(loss_depth_l1(d, 2.0 * d)) > 0.1
+
+
+@pytest.mark.slow
+class TestTrainStep:
+    def test_two_steps_update_state(self):
+        cfg = Config(
+            model=ModelConfig(backbone="drn22", compute_dtype="float32"),
+            solver=SolverConfig(level_iters=(1, 1, 1, 1)),
+        )
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                          image_size=(64, 96),
+                                          num_points=32)
+        step = jax.jit(make_train_step(model, cfg))
+        losses = []
+        for i in range(2):
+            batch = synthetic_batch(jax.random.PRNGKey(i), batch=1,
+                                    height=64, width=96, num_points=32)
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["total"]))
+            assert np.isfinite(losses[-1])
+            assert float(metrics["grad_norm"]) > 0.0
+        assert int(state.step) == 2

@@ -1,0 +1,119 @@
+"""Window BA: convergence, and single-device vs frame-sharded parity on
+the virtual 8-device CPU mesh (SURVEY.md §4(d))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from banet_tpu.ba.window_ba import solve_window_ba, window_ba_step
+from banet_tpu.config import SolverConfig
+from banet_tpu.data.synthetic import smooth_feature_map
+from banet_tpu.geometry.camera import Intrinsics, backproject, warp_points
+from banet_tpu.geometry.se3 import exp_so3, rotation_geodesic_angle
+from banet_tpu.ops.grad2d import append_spatial_gradient
+from banet_tpu.ops.resample import bilinear_sample
+from banet_tpu.parallel.mesh import make_mesh
+from banet_tpu.parallel.window_ba import sharded_window_ba_step
+
+CFG = SolverConfig()
+
+
+def planar_window_problem(key, F=4, H=64, W=80, C=8, N=256, K=6,
+                          motion=0.02):
+    """Window problem on a planar scene with an exact-ish optimum.
+
+    One smooth keyframe feature field; each of the F target frames is
+    rendered by inverse-warping that field through its ground-truth
+    pose at the plane depth.  Keyframe point features are the field
+    sampled at the points, so at the true poses (with depth = plane)
+    the residuals vanish up to resampling error.  A K-channel basis is
+    included so the shared-W plumbing and Schur elimination are
+    exercised.
+    """
+    ks = jax.random.split(key, 8)
+    intr = Intrinsics(jnp.array([0.8 * W]), jnp.array([0.8 * W]),
+                      jnp.array([W / 2.0]), jnp.array([H / 2.0]))
+    px = jax.random.uniform(ks[0], (1, N), minval=0.25 * W, maxval=0.75 * W)
+    py = jax.random.uniform(ks[1], (1, N), minval=0.25 * H, maxval=0.75 * H)
+    points = jnp.stack([px, py], axis=-1)
+    rays = backproject(points, intr, normalized=True)[0]
+
+    plane_depth = 3.0
+    basis_map = 0.3 * smooth_feature_map(ks[3], (1, H, W, K))
+    basis = bilinear_sample(basis_map, points[..., 0], points[..., 1])[0]
+
+    w_all = motion * jax.random.normal(ks[5], (F, 3))
+    R_true = exp_so3(w_all)
+    t_true = motion * jax.random.normal(ks[6], (F, 3))
+
+    field = smooth_feature_map(ks[7], (1, H, W, C))
+    ref_feats = bilinear_sample(field, points[..., 0], points[..., 1])[0]
+
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    grid = jnp.stack([xx.ravel(), yy.ravel()], axis=-1)[None]
+    grid_rays = backproject(grid, intr, normalized=True)
+
+    tgt_fgs = []
+    for f in range(F):
+        Rinv = R_true[f].T
+        tinv = -Rinv @ t_true[f]
+        gx, gy, *_ = warp_points(grid_rays,
+                                 jnp.full((1, H * W), plane_depth),
+                                 Rinv[None], tinv[None], intr)
+        tf = bilinear_sample(field, gx, gy).reshape(1, H, W, C)
+        tgt_fgs.append(append_spatial_gradient(tf)[0])
+
+    return dict(intr=intr, rays=rays, ref_feats=ref_feats,
+                tgt_fgs=jnp.stack(tgt_fgs), basis=basis,
+                R_true=R_true, t_true=t_true, plane_depth=plane_depth,
+                init_depth=jnp.full((N,), plane_depth))
+
+
+def test_window_ba_reduces_error():
+    F = 4
+    prob = planar_window_problem(jax.random.PRNGKey(0), F=F, motion=0.015)
+    # lam_depth pins the monocular scale gauge (the reference's 1000x
+    # bundle damping plays the same role, bundlenet.py:393); without it
+    # (t_z, W) drift along the gauge null space with residuals still
+    # converging.
+    Rs, ts, W, res_hist = solve_window_ba(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], CFG,
+        num_iters=6, lam=1e-3, lam_depth=1.0)
+    ang0 = rotation_geodesic_angle(
+        jnp.broadcast_to(jnp.eye(3), (F, 3, 3)), prob["R_true"])
+    ang = rotation_geodesic_angle(Rs, prob["R_true"])
+    assert float(ang.max()) < float(ang0.max()) / 3, (ang, ang0)
+    terr0 = jnp.linalg.norm(prob["t_true"], axis=-1)
+    terr = jnp.linalg.norm(ts - prob["t_true"], axis=-1)
+    assert float(terr.max()) < float(terr0.max()) / 2, (terr, terr0)
+    assert float(res_hist[-1].mean()) < float(res_hist[0].mean())
+
+
+@pytest.mark.multichip
+def test_sharded_matches_single_device():
+    F = 8
+    prob = planar_window_problem(jax.random.PRNGKey(1), F=F, motion=0.01)
+    K = prob["basis"].shape[-1]
+    Rs0 = jnp.broadcast_to(jnp.eye(3), (F, 3, 3))
+    ts0 = jnp.zeros((F, 3))
+    W0 = jnp.zeros((K,))
+
+    R1, t1, W1, res1 = window_ba_step(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], Rs0, ts0, W0, prob["intr"],
+        1e-3, CFG)
+
+    mesh = make_mesh(data=1, frame=8)
+    R2, t2, W2, res2 = sharded_window_ba_step(
+        mesh, prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], Rs0, ts0, W0, prob["intr"],
+        1e-3, CFG)
+
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res1), np.asarray(res2),
+                               atol=1e-5)
