@@ -1,0 +1,148 @@
+"""Command-line interface.
+
+The reference has no CLI layer (SURVEY.md §1: "no CLI layer, no config
+layer"); its drivers are editable scripts with hardcoded paths
+(legacy/example.py, legacy/seq_example.py, legacy/eval.py).  This
+module exposes the same workflows as subcommands:
+
+  python -m banet_tpu.cli odometry  <tum_seq_dir> [--out traj.txt] ...
+  python -m banet_tpu.cli evaluate  <gt.txt> <est.txt> [--rpe-delta S]
+  python -m banet_tpu.cli train     [--steps N] [--synthetic] ...
+  python -m banet_tpu.cli bench     (defers to bench.py)
+
+Checkpoints restore via utils.checkpoint (optimistic partial restore),
+so an encoder-only checkpoint also works.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_odometry(args) -> int:
+    import numpy as np
+
+    from banet_tpu.config import default_config
+    from banet_tpu.data.tum import TumSequence
+    from banet_tpu.eval.trajectory import save_tum_trajectory
+    from banet_tpu.tracking import OdometryRunner, TwoViewTracker
+
+    seq = TumSequence(args.sequence)
+    if len(seq) == 0:
+        print("empty sequence", file=sys.stderr)
+        return 1
+    f0 = seq[0]
+    rgb0 = f0.load_rgb()
+    H, W = rgb0.shape[:2]
+    cfg = default_config()
+    tracker = TwoViewTracker.initialize(cfg, image_size=(H, W),
+                                        num_points=args.num_points)
+    if args.checkpoint:
+        from banet_tpu.utils.checkpoint import optimistic_restore
+
+        merged, restored, skipped = optimistic_restore(
+            args.checkpoint, tracker.variables)
+        tracker.variables = merged
+        print(f"restored {len(restored)} vars, skipped {len(skipped)}",
+              file=sys.stderr)
+    runner = OdometryRunner(tracker, num_points=args.num_points)
+    frames = ((f.timestamp, f.load_rgb(), f.load_depth())
+              for f in seq.frames[:args.max_frames])
+    traj, stats = runner.run(frames, seq.intrinsics)
+    save_tum_trajectory(args.out, traj)
+    print(json.dumps({"frames": stats.num_frames,
+                      "keyframes": stats.num_keyframes,
+                      "out": args.out}))
+    return 0
+
+
+def _cmd_evaluate(args) -> int:
+    from banet_tpu.eval import (evaluate_ate, evaluate_rpe,
+                                load_tum_trajectory)
+    from banet_tpu.eval.associate import associate
+    from banet_tpu.eval.trajectory import Trajectory
+
+    gt = load_tum_trajectory(args.groundtruth)
+    est = load_tum_trajectory(args.estimate)
+    out = dict(evaluate_ate(gt, est, max_difference=args.max_difference))
+    matches = associate(list(gt.timestamps), list(est.timestamps),
+                        max_difference=args.max_difference)
+    ia = [m[0] for m in matches]
+    ib = [m[1] for m in matches]
+    gt_m = Trajectory(gt.timestamps[ia], gt.poses[ia])
+    est_m = Trajectory(est.timestamps[ib], est.poses[ib])
+    out.update(evaluate_rpe(gt_m, est_m, delta=args.rpe_delta,
+                            delta_unit=args.rpe_unit))
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_train(args) -> int:
+    import jax
+
+    from banet_tpu.config import default_config
+    from banet_tpu.train import (create_train_state, make_train_step,
+                                 synthetic_batch)
+    from banet_tpu.utils.checkpoint import save_checkpoint
+    from banet_tpu.utils.logging import MetricsLogger
+
+    cfg = default_config()
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(cfg.train.seed),
+        image_size=tuple(args.image_size), num_points=args.num_points)
+    step = jax.jit(make_train_step(model, cfg))
+    logger = MetricsLogger(args.log_file)
+    for i in range(args.steps):
+        batch = synthetic_batch(jax.random.PRNGKey(1000 + i),
+                                batch=cfg.train.batch_pairs,
+                                height=args.image_size[0],
+                                width=args.image_size[1],
+                                num_points=args.num_points)
+        state, metrics = step(state, batch)
+        logger.log(i, **{k: v for k, v in metrics.items()})
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint,
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats})
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="banet_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    po = sub.add_parser("odometry", help="run sequence odometry on a "
+                        "TUM RGB-D directory")
+    po.add_argument("sequence")
+    po.add_argument("--out", default="trajectory.txt")
+    po.add_argument("--num-points", type=int, default=1024)
+    po.add_argument("--max-frames", type=int, default=100000)
+    po.add_argument("--checkpoint", default=None)
+    po.set_defaults(fn=_cmd_odometry)
+
+    pe = sub.add_parser("evaluate", help="ATE + RPE between TUM "
+                        "trajectory files")
+    pe.add_argument("groundtruth")
+    pe.add_argument("estimate")
+    pe.add_argument("--max-difference", type=float, default=0.02)
+    pe.add_argument("--rpe-delta", type=float, default=1.0)
+    pe.add_argument("--rpe-unit", choices=["s", "f"], default="s")
+    pe.set_defaults(fn=_cmd_evaluate)
+
+    pt = sub.add_parser("train", help="train (synthetic data)")
+    pt.add_argument("--steps", type=int, default=10)
+    pt.add_argument("--image-size", type=int, nargs=2,
+                    default=[256, 320])
+    pt.add_argument("--num-points", type=int, default=512)
+    pt.add_argument("--checkpoint", default=None)
+    pt.add_argument("--log-file", default=None)
+    pt.set_defaults(fn=_cmd_train)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,161 @@
+"""Learned direct tracking network (DeepTAM-class model family).
+
+Capability-equivalent of the TrackingNetwork the reference vendors as
+its comparison baseline (reference deeptam models/networks.py:5-196,
+blocks.py:44-390, helpers.py:184-198): a 3-level coarse-to-fine cascade
+where each level
+
+  1. renders the keyframe (image + depth) into the current view at the
+     pose guess, at three depth hypotheses (0.8x / 1x / 1.2x — the
+     near/actual/far variants of blocks.py:44-79), via the z-buffered
+     forward warp (ops/render.py, replacing sops.transfer_key_frame2);
+  2. feeds [renders, current image, validity] to a small conv
+     encoder-decoder ("flow block", blocks.py:312-390) predicting a
+     dense correction flow + confidence;
+  3. feeds the warped stack + flow to a "motion block"
+     (blocks.py:91-197) that regresses ``num_samples`` SE(3) increment
+     samples; their mean updates the pose (helpers.py:184-198 ==
+     geometry.se3.se3_update) and their spread is an uncertainty
+     estimate (the reference predicts a mean + covariance over 64
+     samples; we keep the sample set and expose mean/std).
+
+TPU notes: all levels run at static shapes (inputs resized with
+jax.image), convs NHWC in bf16-capable dtype, levels unrolled (3), and
+the whole cascade jits and vmaps.  This model family complements the
+GN-based BANet: no depth basis, pure learned regression — useful as a
+robust initializer for the GN tracker.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from banet_tpu.geometry.camera import Intrinsics
+from banet_tpu.geometry.se3 import se3_update
+from banet_tpu.ops.render import forward_warp_render
+
+_DEPTH_HYPOTHESES = (0.8, 1.0, 1.2)
+
+
+class FlowBlock(nn.Module):
+    """Small conv encoder-decoder predicting (flow_x, flow_y, conf)."""
+
+    base: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal())
+        e1 = nn.leaky_relu(conv(self.base, 5, 2)(x))
+        e2 = nn.leaky_relu(conv(self.base * 2, 3, 2)(e1))
+        e3 = nn.leaky_relu(conv(self.base * 4, 3, 2)(e2))
+        d2 = jax.image.resize(e3, e2.shape[:1] + e2.shape[1:3] +
+                              e3.shape[-1:], "bilinear")
+        d2 = nn.leaky_relu(conv(self.base * 2, 3, 1)(
+            jnp.concatenate([d2, e2], -1)))
+        d1 = jax.image.resize(d2, e1.shape[:1] + e1.shape[1:3] +
+                              d2.shape[-1:], "bilinear")
+        d1 = nn.leaky_relu(conv(self.base, 3, 1)(
+            jnp.concatenate([d1, e1], -1)))
+        d0 = jax.image.resize(d1, x.shape[:1] + x.shape[1:3] +
+                              d1.shape[-1:], "bilinear")
+        out = conv(3, 3, 1)(d0)
+        return out  # (B, H, W, 3): flow_x, flow_y, confidence logit
+
+
+class MotionBlock(nn.Module):
+    """Conv + dense head regressing SE(3) increment samples."""
+
+    num_samples: int = 64
+    base: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal())
+        h = nn.leaky_relu(conv(self.base, 5, 2)(x))
+        h = nn.leaky_relu(conv(self.base * 2, 3, 2)(h))
+        h = nn.leaky_relu(conv(self.base * 4, 3, 2)(h))
+        h = jnp.mean(h, axis=(1, 2))  # global average pool
+        h = nn.leaky_relu(nn.Dense(128, dtype=self.dtype)(h))
+        # Small init so the untrained network predicts ~zero motion
+        # (the reference scales its increments similarly).
+        samples = nn.Dense(self.num_samples * 6, dtype=self.dtype,
+                           kernel_init=nn.initializers.normal(1e-3)
+                           )(h)
+        return samples.reshape(h.shape[0], self.num_samples, 6)
+
+
+class TrackingResult(NamedTuple):
+    R: jnp.ndarray              # (B, 3, 3)
+    t: jnp.ndarray              # (B, 3)
+    motion_samples: List[jnp.ndarray]  # per level (B, S, 6)
+    motion_std: jnp.ndarray     # (B, 6) spread at the finest level
+    flows: List[jnp.ndarray]    # per level (B, h, w, 3)
+
+
+class TrackingNet(nn.Module):
+    """3-level coarse-to-fine direct pose regression."""
+
+    levels: int = 3
+    num_samples: int = 64
+    dtype: Any = jnp.float32
+    normalized_rays: bool = False
+
+    @nn.compact
+    def __call__(self, key_img: jnp.ndarray, key_depth: jnp.ndarray,
+                 cur_img: jnp.ndarray, intr: Intrinsics,
+                 R0: jnp.ndarray = None, t0: jnp.ndarray = None,
+                 train: bool = False) -> TrackingResult:
+        """key_img/cur_img: (B, H, W, 3) in [0, 255]; key_depth:
+        (B, H, W).  H, W should be divisible by 2^levels * 8."""
+        B, H, W, _ = key_img.shape
+        if R0 is None:
+            R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        if t0 is None:
+            t0 = jnp.zeros((B, 3))
+        R, t = R0, t0
+
+        key_img = key_img / 255.0 - 0.5
+        cur_img = cur_img / 255.0 - 0.5
+
+        samples_hist, flows = [], []
+        std = None
+        for lvl in range(self.levels):
+            scale = 2 ** (self.levels - 1 - lvl)
+            h, w = H // scale, W // scale
+            ki = jax.image.resize(key_img, (B, h, w, 3), "bilinear")
+            ci = jax.image.resize(cur_img, (B, h, w, 3), "bilinear")
+            kd = jax.image.resize(key_depth, (B, h, w), "bilinear")
+            intr_l = intr.scale(1.0 / scale)
+
+            renders = []
+            for ds in _DEPTH_HYPOTHESES:
+                wi, wd, m = forward_warp_render(
+                    ki, kd, R, t, intr_l, depth_scale=ds,
+                    normalized_rays=self.normalized_rays)
+                renders.extend([wi, wd[..., None], m[..., None]])
+            stack = jnp.concatenate(renders + [ci], axis=-1)
+
+            flow = FlowBlock(dtype=self.dtype,
+                             name=f"flow_{lvl}")(stack, train)
+            flows.append(flow)
+            minput = jnp.concatenate([stack, flow], axis=-1)
+            samples = MotionBlock(num_samples=self.num_samples,
+                                  dtype=self.dtype,
+                                  name=f"motion_{lvl}")(minput, train)
+            samples_hist.append(samples)
+            delta = jnp.mean(samples, axis=1)  # (B, 6)
+            std = jnp.std(samples, axis=1)
+            R, t = se3_update(R, t, delta)
+
+        return TrackingResult(R=R, t=t, motion_samples=samples_hist,
+                              motion_std=std, flows=flows)

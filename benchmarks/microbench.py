@@ -1,0 +1,194 @@
+"""Per-component microbenchmarks with roofline ratios.
+
+Produces the "speed-of-light kernels (profiled)" evidence BASELINE.md
+asks for: each hot component is timed on the current device and
+compared against its compute/bandwidth roofline.
+
+Components (the hot loop of SURVEY.md §3.1/3.2):
+  encoder       DRN-38 backbone + FPN on a 256x320 pair
+  sampler       bilinear sample-at-points, 4096 pts x 128 ch
+  normal_eq     (6+K) normal-equation build, 4096 pts x 128 ch
+  gn_iteration  one full pose GN step (warp+sample+solve)
+  upsample      fixed 2x bilinear upsampling
+
+Timing uses the batch-slope method (see bench.py) so constant relay/
+dispatch overhead cancels.  Run:  python benchmarks/microbench.py
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_FLOPS = 197e12     # v5e bf16
+PEAK_BYTES = 819e9      # v5e HBM
+
+
+def slope_time(fn, make_args, b_small, b_big, repeats=4):
+    """Per-unit time via the two-batch slope with host-fetch sync."""
+
+    def timed(b):
+        argsets = [make_args(b, seed) for seed in range(repeats)]
+        out = fn(*argsets[0])
+        _ = np.asarray(jax.tree.leaves(out)[0])  # warmup + compile
+        ts = []
+        for a in argsets:
+            t0 = time.perf_counter()
+            out = fn(*a)
+            _ = np.asarray(jax.tree.leaves(out)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t2 = timed(b_small), timed(b_big)
+    return max((t2 - t1) / (b_big - b_small), 1e-9)
+
+
+def hlo_cost(fn, *args):
+    c = jax.jit(fn).lower(*args).compile().cost_analysis()
+    c = c[0] if isinstance(c, (list, tuple)) else (c or {})
+    return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+
+
+def report(name, t_unit, flops, bytes_acc, extra=None):
+    sol = max(flops / PEAK_FLOPS, bytes_acc / PEAK_BYTES)
+    rec = {
+        "component": name,
+        "time_ms": round(t_unit * 1e3, 4),
+        "gflops": round(flops / 1e9, 3),
+        "gbytes": round(bytes_acc / 1e9, 4),
+        "sol_ms": round(sol * 1e3, 4),
+        "fraction_of_sol": round(sol / t_unit, 4) if t_unit else 0.0,
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+    return rec
+
+
+def bench_sampler():
+    H, W, C, N = 128, 160, 384, 4096
+
+    def make(b, seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        f = jax.random.normal(ks[0], (b, H, W, C))
+        px = jax.random.uniform(ks[1], (b, N), minval=0.0, maxval=W - 1.0)
+        py = jax.random.uniform(ks[2], (b, N), minval=0.0, maxval=H - 1.0)
+        return f, px, py
+
+    from banet_tpu.ops.resample import bilinear_sample
+
+    fn = jax.jit(bilinear_sample)
+    t = slope_time(fn, make, 2, 10)
+    flops, bytes_acc = hlo_cost(bilinear_sample, *make(1, 0))
+    return report("sampler_4096x384", t, flops, bytes_acc)
+
+
+def bench_normal_eq():
+    N, C, P = 4096, 128, 38
+
+    def make(b, seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        J = jax.random.normal(ks[0], (b, N, 2, P))
+        G = jax.random.normal(ks[1], (b, N, C, 2))
+        r = jax.random.normal(ks[2], (b, N, C))
+        return J, G, r
+
+    from banet_tpu.ops.normal_eq import build_normal_equations
+
+    fn = jax.jit(build_normal_equations)
+    t = slope_time(fn, make, 2, 10)
+    flops, bytes_acc = hlo_cost(build_normal_equations, *make(1, 0))
+    return report("normal_eq_4096x128xP38", t, flops, bytes_acc)
+
+
+def bench_gn_iteration():
+    from banet_tpu.ba.camera_solver import pose_gn_step
+    from banet_tpu.config import SolverConfig
+    from banet_tpu.data.synthetic import make_two_view_problem
+    from banet_tpu.ops.grad2d import append_spatial_gradient
+
+    cfg = SolverConfig()
+
+    def make(b, seed):
+        prob = make_two_view_problem(jax.random.PRNGKey(seed), batch=b,
+                                     height=128, width=160, channels=128,
+                                     num_points=4096)
+        tgt = append_spatial_gradient(prob["tgt_feats"])
+        R0 = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+        t0 = jnp.zeros((b, 3))
+        return (prob["ref_feats"], tgt, prob["rays"], prob["depth"], R0,
+                t0, prob["intr"])
+
+    damping = lambda a: jnp.full(a.shape[:-1], 1e-3)  # noqa: E731
+
+    def step(ref, tgt, rays, depth, R, t, intr):
+        return pose_gn_step(ref, tgt, rays, depth, R, t, intr, damping,
+                            cfg)[0]
+
+    fn = jax.jit(step)
+    t = slope_time(fn, make, 2, 6)
+    flops, bytes_acc = hlo_cost(step, *make(1, 0))
+    return report("pose_gn_step_4096pts", t, flops, bytes_acc)
+
+
+def bench_encoder():
+    from banet_tpu.config import default_config
+    from banet_tpu.models.banet import BANet
+
+    cfg = default_config()
+    model = BANet(cfg)
+    img = jnp.zeros((1, 256, 320, 3))
+    from banet_tpu.geometry.camera import Intrinsics
+
+    intr = Intrinsics(jnp.array([288.0]), jnp.array([288.0]),
+                      jnp.array([160.0]), jnp.array([128.0]))
+    pts = jnp.full((1, 64, 2), 32.0)
+    variables = model.init(jax.random.PRNGKey(0), img, img, intr, pts)
+
+    def feats(img):
+        return model.apply(variables, img, method=model.features)
+
+    def make(b, seed):
+        return (255.0 * jax.random.uniform(jax.random.PRNGKey(seed),
+                                           (b, 256, 320, 3)),)
+
+    fn = jax.jit(feats)
+    t = slope_time(fn, make, 2, 6)
+    flops, bytes_acc = hlo_cost(feats, *make(1, 0))
+    return report("encoder_fpn_256x320", t, flops, bytes_acc)
+
+
+def bench_upsample():
+    from banet_tpu.ops.upsample import upsample2x_bilinear
+
+    def make(b, seed):
+        return (jax.random.normal(jax.random.PRNGKey(seed),
+                                  (b, 128, 160, 128)),)
+
+    fn = jax.jit(upsample2x_bilinear)
+    t = slope_time(fn, make, 2, 10)
+    flops, bytes_acc = hlo_cost(upsample2x_bilinear, *make(1, 0))
+    return report("upsample2x_128ch", t, flops, bytes_acc)
+
+
+BENCHES = {
+    "sampler": bench_sampler,
+    "normal_eq": bench_normal_eq,
+    "gn_iteration": bench_gn_iteration,
+    "encoder": bench_encoder,
+    "upsample": bench_upsample,
+}
+
+
+def main(names=None):
+    import sys
+
+    names = names or sys.argv[1:] or list(BENCHES)
+    for n in names:
+        BENCHES[n]()
+
+
+if __name__ == "__main__":
+    main()
