@@ -120,28 +120,71 @@ def solve_pose_level(
     final *active* iteration (entries frozen after termination).
     """
 
+    # The warp at the *entry* pose is computed once and carried: each
+    # iteration proposes a step from the carried warp, warps once at the
+    # proposed pose (for the accept test), and on acceptance reuses that
+    # warp as the next iteration's base.  One warp per iteration instead
+    # of the naive two (the reference re-warps for its CheckUpdate and
+    # then warps again next iteration, legacy/ba.py:238,306).
+
+    def gn_from_warp(wr: WarpResult, R, t):
+        avg_r = wr.avg_abs_residual(renormalize_residual)
+        res_before = jnp.mean(avg_r, axis=-1)
+        lam = damping_fn(avg_r)
+        J = camera_jacobian(wr.x, wr.y, wr.z, intr.fx, intr.fy)
+        AtA, Atb = build_normal_equations(J, wr.G, wr.residual)
+        delta = -damped_solve(AtA, Atb, lam, cfg.diag_floor,
+                              damp_last=True)
+        R_prop, t_prop = se3_update(R, t, delta)
+        return R_prop, t_prop, delta, res_before, lam
+
     def body(carry, _):
-        R, t, done, last_aux = carry
-        R_new, t_new, aux = pose_gn_step(
-            ref_feats, tgt_feats_grad, rays, depth, R, t, intr,
-            damping_fn, cfg, renormalize_residual)
+        R, t, wr, done, last_aux = carry
+        R_prop, t_prop, delta, res_before, lam = gn_from_warp(wr, R, t)
+        wr_prop = warp_residuals(ref_feats, tgt_feats_grad, rays, depth,
+                                 R_prop, t_prop, intr)
+        if cfg.reject_bad_steps:
+            res_after = _scalar_residual(wr_prop, renormalize_residual)
+            accept = res_after < cfg.residual_ratio * res_before
+        else:
+            res_after = res_before
+            accept = jnp.ones_like(res_before, dtype=bool)
+
+        take = accept & ~done
+        tk3 = take[:, None, None]
+        R = jnp.where(tk3, R_prop, R)
+        t = jnp.where(take[:, None], t_prop, t)
+        wr = jax.tree.map(
+            lambda new, old: jnp.where(
+                take.reshape(take.shape + (1,) * (new.ndim - 1)), new,
+                old), wr_prop, wr)
+
+        acc_f = take.astype(delta.dtype)
+        aux = PoseStepAux(
+            accepted=acc_f,
+            dw=jnp.linalg.norm(delta[:, :3], axis=-1) * acc_f,
+            dt=jnp.linalg.norm(delta[:, 3:], axis=-1) * acc_f,
+            residual_before=res_before,
+            residual_after=res_after,
+            keep_ratio=wr.keep_ratio,
+            lam=lam,
+        )
         active = ~done
-        act3 = active[:, None, None]
-        R = jnp.where(act3, R_new, R)
-        t = jnp.where(active[:, None], t_new, t)
         aux = jax.tree.map(
             lambda new, old: jnp.where(active, new, old), aux, last_aux)
         if cfg.early_termination:
             converged = ((aux.dw < cfg.angle_change) &
                          (aux.dt < cfg.translation_change))
             done = done | (active & converged)
-        return (R, t, done, aux), None
+        return (R, t, wr, done, aux), None
 
     B = R0.shape[0]
+    wr0 = warp_residuals(ref_feats, tgt_feats_grad, rays, depth, R0, t0,
+                         intr)
     aux0 = PoseStepAux(*(jnp.zeros((B,), R0.dtype) for _ in range(7)))
     done0 = jnp.zeros((B,), dtype=bool)
-    (R, t, _, aux), _ = jax.lax.scan(
-        body, (R0, t0, done0, aux0), None, length=num_iters)
+    (R, t, _, _, aux), _ = jax.lax.scan(
+        body, (R0, t0, wr0, done0, aux0), None, length=num_iters)
     return R, t, aux
 
 

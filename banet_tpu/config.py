@@ -70,6 +70,9 @@ class ModelConfig:
     channels: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     pyramid_channels: int = 128
     pyramid_levels: int = 4  # scales 1/8, 1/4, 1/2, 1/1 (coarse -> fine)
+    # 3x3 convs per pyramid level (legacy pyramid stacks two,
+    # legacy/feat.py:251-253; dec.py uses one).
+    pyramid_convs_per_level: int = 1
     basis_channels: int = 32
     # Depth head basis normalization: instance std (reference dec.py:107-108)
     basis_normalized: bool = True
@@ -161,6 +164,7 @@ def legacy_tracker_config() -> Config:
     3 pyramid levels from legacy/feat.py:240-271)."""
     return Config(
         model=ModelConfig(backbone="drn54", pyramid_levels=3,
+                          pyramid_convs_per_level=2,
                           damping_exponent_base=1.0),
         solver=SolverConfig(level_iters=(5, 8, 12),
                             renormalize_residual=True),

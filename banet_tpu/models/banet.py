@@ -54,7 +54,9 @@ class BANet(nn.Module):
                            image_mean=mc.image_mean, image_std=mc.image_std,
                            include_layer1=True, dtype=dtype)
         self.fpn = FeaturePyramid(levels=mc.pyramid_levels,
-                                  features=mc.pyramid_channels, dtype=dtype)
+                                  features=mc.pyramid_channels,
+                                  convs_per_level=mc.pyramid_convs_per_level,
+                                  dtype=dtype)
         self.dla = DLA(normalize_basis=mc.basis_normalized, dtype=dtype)
         self.damping_nets = [
             DampingNet(mc.pyramid_channels,

@@ -16,7 +16,12 @@ dispatch overhead cancels.  Run:  python benchmarks/microbench.py
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +32,12 @@ PEAK_BYTES = 819e9      # v5e HBM
 
 
 def slope_time(fn, make_args, b_small, b_big, repeats=4):
-    """Per-unit time via the two-batch slope with host-fetch sync."""
+    """Per-unit time via the two-batch slope with host-fetch sync.
+
+    ``fn`` must return something TINY (a scalar): the host fetch that
+    forces completion travels through the device relay, so fetching a
+    large output measures transfer bandwidth, not kernel time (use
+    ``reduced`` to wrap a big-output op)."""
 
     def timed(b):
         argsets = [make_args(b, seed) for seed in range(repeats)]
@@ -43,6 +53,18 @@ def slope_time(fn, make_args, b_small, b_big, repeats=4):
 
     t1, t2 = timed(b_small), timed(b_big)
     return max((t2 - t1) / (b_big - b_small), 1e-9)
+
+
+def reduced(fn):
+    """Wrap an op so it returns a scalar checksum (keeps all compute
+    live, makes the completion fetch O(1))."""
+
+    def wrapped(*args):
+        out = fn(*args)
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree.leaves(out))
+
+    return wrapped
 
 
 def hlo_cost(fn, *args):
@@ -79,7 +101,7 @@ def bench_sampler():
 
     from banet_tpu.ops.resample import bilinear_sample
 
-    fn = jax.jit(bilinear_sample)
+    fn = jax.jit(reduced(bilinear_sample))
     t = slope_time(fn, make, 2, 10)
     flops, bytes_acc = hlo_cost(bilinear_sample, *make(1, 0))
     return report("sampler_4096x384", t, flops, bytes_acc)
@@ -97,7 +119,7 @@ def bench_normal_eq():
 
     from banet_tpu.ops.normal_eq import build_normal_equations
 
-    fn = jax.jit(build_normal_equations)
+    fn = jax.jit(reduced(build_normal_equations))
     t = slope_time(fn, make, 2, 10)
     flops, bytes_acc = hlo_cost(build_normal_equations, *make(1, 0))
     return report("normal_eq_4096x128xP38", t, flops, bytes_acc)
@@ -127,7 +149,7 @@ def bench_gn_iteration():
         return pose_gn_step(ref, tgt, rays, depth, R, t, intr, damping,
                             cfg)[0]
 
-    fn = jax.jit(step)
+    fn = jax.jit(reduced(step))
     t = slope_time(fn, make, 2, 6)
     flops, bytes_acc = hlo_cost(step, *make(1, 0))
     return report("pose_gn_step_4096pts", t, flops, bytes_acc)
@@ -154,7 +176,7 @@ def bench_encoder():
         return (255.0 * jax.random.uniform(jax.random.PRNGKey(seed),
                                            (b, 256, 320, 3)),)
 
-    fn = jax.jit(feats)
+    fn = jax.jit(reduced(feats))
     t = slope_time(fn, make, 2, 6)
     flops, bytes_acc = hlo_cost(feats, *make(1, 0))
     return report("encoder_fpn_256x320", t, flops, bytes_acc)
@@ -167,14 +189,33 @@ def bench_upsample():
         return (jax.random.normal(jax.random.PRNGKey(seed),
                                   (b, 128, 160, 128)),)
 
-    fn = jax.jit(upsample2x_bilinear)
+    fn = jax.jit(reduced(upsample2x_bilinear))
     t = slope_time(fn, make, 2, 10)
     flops, bytes_acc = hlo_cost(upsample2x_bilinear, *make(1, 0))
     return report("upsample2x_128ch", t, flops, bytes_acc)
 
 
+def bench_sampler_block():
+    H, W, C, N = 128, 160, 384, 4096
+
+    def make(b, seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        f = jax.random.normal(ks[0], (b, H, W, C))
+        px = jax.random.uniform(ks[1], (b, N), minval=0.0, maxval=W - 1.0)
+        py = jax.random.uniform(ks[2], (b, N), minval=0.0, maxval=H - 1.0)
+        return f, px, py
+
+    from banet_tpu.ops.resample import bilinear_sample_block
+
+    fn = jax.jit(reduced(bilinear_sample_block))
+    t = slope_time(fn, make, 2, 10)
+    flops, bytes_acc = hlo_cost(bilinear_sample_block, *make(1, 0))
+    return report("sampler_block_4096x384", t, flops, bytes_acc)
+
+
 BENCHES = {
     "sampler": bench_sampler,
+    "sampler_block": bench_sampler_block,
     "normal_eq": bench_normal_eq,
     "gn_iteration": bench_gn_iteration,
     "encoder": bench_encoder,
