@@ -183,8 +183,27 @@ def solve_pose_level(
                          intr)
     aux0 = PoseStepAux(*(jnp.zeros((B,), R0.dtype) for _ in range(7)))
     done0 = jnp.zeros((B,), dtype=bool)
-    (R, t, _, _, aux), _ = jax.lax.scan(
-        body, (R0, t0, wr0, done0, aux0), None, length=num_iters)
+    carry0 = (R0, t0, wr0, done0, aux0)
+    if cfg.dynamic_early_exit:
+        # Inference: actually stop when every batch element converged
+        # (the reference's while_loop semantics, legacy/ba.py:132-140,
+        # back_prop=False).  Saves the masked no-op iterations the scan
+        # would still execute.
+        def cond(state):
+            i, carry = state
+            done = carry[3]
+            return (i < num_iters) & jnp.any(~done)
+
+        def wbody(state):
+            i, carry = state
+            carry, _ = body(carry, None)
+            return (i + 1, carry)
+
+        _, (R, t, _, _, aux) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), carry0))
+    else:
+        (R, t, _, _, aux), _ = jax.lax.scan(
+            body, carry0, None, length=num_iters)
     return R, t, aux
 
 

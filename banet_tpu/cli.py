@@ -79,6 +79,42 @@ def _cmd_evaluate(args) -> int:
     return 0
 
 
+def _cmd_pairs(args) -> int:
+    """GT-annotated pair evaluation over a TUM sequence (the
+    legacy/eval.py workflow, pairs formed (i, i+stride))."""
+    import numpy as np
+
+    from banet_tpu.config import default_config
+    from banet_tpu.data.tum import TumSequence
+    from banet_tpu.eval.pair_eval import evaluate_pairs, summarize
+    from banet_tpu.tracking import TwoViewTracker
+
+    seq = TumSequence(args.sequence)
+    frames = [f for f in seq.frames if f.gt_pose is not None]
+    if len(frames) < args.stride + 1:
+        print("not enough GT frames", file=sys.stderr)
+        return 1
+    rgb0 = frames[0].load_rgb()
+    cfg = default_config()
+    tracker = TwoViewTracker.initialize(
+        cfg, image_size=rgb0.shape[:2], num_points=args.num_points)
+
+    def make_pairs():
+        starts = list(range(0, len(frames) - args.stride,
+                            args.stride))[:args.max_pairs]
+        for i in starts:
+            a, b = frames[i], frames[i + args.stride]
+            T = np.linalg.inv(b.gt_pose) @ a.gt_pose  # target-from-ref
+            yield dict(image1=a.load_rgb(), image2=b.load_rgb(),
+                       depth1=a.load_depth(), depth2=b.load_depth(),
+                       R_gt=T[:3, :3], t_gt=T[:3, 3])
+
+    results = evaluate_pairs(tracker, make_pairs(), seq.intrinsics,
+                             num_points=args.num_points)
+    print(json.dumps(summarize(results), indent=2))
+    return 0
+
+
 def _cmd_train(args) -> int:
     import jax
 
@@ -130,6 +166,14 @@ def main(argv=None) -> int:
     pe.add_argument("--rpe-delta", type=float, default=1.0)
     pe.add_argument("--rpe-unit", choices=["s", "f"], default="s")
     pe.set_defaults(fn=_cmd_evaluate)
+
+    pp = sub.add_parser("pairs", help="GT-pair evaluation on a TUM "
+                        "sequence (legacy/eval.py workflow)")
+    pp.add_argument("sequence")
+    pp.add_argument("--stride", type=int, default=5)
+    pp.add_argument("--num-points", type=int, default=1024)
+    pp.add_argument("--max-pairs", type=int, default=50)
+    pp.set_defaults(fn=_cmd_pairs)
 
     pt = sub.add_parser("train", help="train (synthetic data)")
     pt.add_argument("--steps", type=int, default=10)

@@ -52,6 +52,12 @@ class SolverConfig:
     # Renormalize the damping-net residual input by the valid-point
     # fraction (legacy/ba.py:257,268 does; bundlenet.py:167 does not).
     renormalize_residual: bool = False
+    # Inference-only: run each level's iterations in a lax.while_loop
+    # that actually stops at the early-exit condition (like the
+    # reference's tf.while_loop with back_prop=False, legacy/ba.py:140)
+    # instead of the fixed-trip masked scan.  Not differentiable; the
+    # trainer keeps this False.
+    dynamic_early_exit: bool = False
     # Solve dtype for the (6+K)x(6+K) normal system.
     solve_dtype: str = "float32"
 

@@ -151,6 +151,47 @@ class BANet(nn.Module):
             self._damping_fns(levels), self.cfg.solver,
             renormalize_residual=self.cfg.solver.renormalize_residual)
 
+    def sample_ref_features(self, feats_ref: List[jnp.ndarray],
+                            points: jnp.ndarray) -> List[jnp.ndarray]:
+        """Keyframe-side per-level point features — computed once per
+        keyframe and cached by the tracker (the reference rebuilds both
+        pyramids every tracked frame, legacy/ba.py:447-459; caching the
+        keyframe side halves the per-frame conv cost)."""
+        L = self.cfg.model.pyramid_levels
+        out = []
+        for lvl in range(L):
+            scale = 2 ** (L - 1 - lvl)
+            pts = points / scale
+            out.append(bilinear_sample(feats_ref[lvl], pts[..., 0],
+                                       pts[..., 1]))
+        return out
+
+    def pose_track_cached(self, ref_sampled: List[jnp.ndarray],
+                          image_tgt: jnp.ndarray, intr: Intrinsics,
+                          points: jnp.ndarray, point_depths: jnp.ndarray,
+                          R0: Optional[jnp.ndarray] = None,
+                          t0: Optional[jnp.ndarray] = None,
+                          train: bool = False):
+        """pose_track against precomputed keyframe point features
+        (from ``sample_ref_features``); only the target pyramid is
+        computed here — the steady-state odometry per-frame path."""
+        B = image_tgt.shape[0]
+        if R0 is None:
+            R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        if t0 is None:
+            t0 = jnp.zeros((B, 3))
+        feats_tgt = self.features(image_tgt, train)
+        levels = list(range(self.cfg.model.pyramid_levels))
+        L = self.cfg.model.pyramid_levels
+        tgt_l = [append_spatial_gradient(feats_tgt[lvl]) for lvl in levels]
+        intr_l = [intr.scale(1.0 / 2 ** (L - 1 - lvl)) for lvl in levels]
+        rays = backproject(points, intr,
+                           normalized=self.cfg.geometry.normalized_rays)
+        return solve_pose_pyramid(
+            ref_sampled, tgt_l, rays, point_depths, R0, t0, intr_l,
+            self._damping_fns(levels), self.cfg.solver,
+            renormalize_residual=self.cfg.solver.renormalize_residual)
+
     def bundle_adjust(self, image_ref: jnp.ndarray, image_tgt: jnp.ndarray,
                       intr: Intrinsics, points: jnp.ndarray,
                       R0: Optional[jnp.ndarray] = None,

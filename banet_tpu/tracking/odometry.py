@@ -76,6 +76,8 @@ class OdometryRunner:
                 key_pts, key_depths = select_points(
                     rgb, depth, self.num_points, self.texture_threshold,
                     rng=self.rng)
+                self.tracker.set_keyframe(rgb, intrinsics, key_pts,
+                                          key_depths)
                 key_time = ts
                 stats.num_keyframes += 1
                 stamps.append(ts)
@@ -83,8 +85,9 @@ class OdometryRunner:
                 stats.num_frames += 1
                 continue
 
-            R, t, keep = self.tracker.track(
-                key_img, rgb, intrinsics, key_pts, key_depths, initR, initT)
+            # Steady-state path: keyframe features are cached; only the
+            # new frame's pyramid is computed.
+            R, t, keep = self.tracker.track_frame(rgb, initR, initT)
             rel = np.eye(4)
             rel[:3, :3] = R[0]
             rel[:3, 3] = t[0]
@@ -103,6 +106,8 @@ class OdometryRunner:
                 key_pts, key_depths = select_points(
                     rgb, depth, self.num_points, self.texture_threshold,
                     rng=self.rng)
+                self.tracker.set_keyframe(rgb, intrinsics, key_pts,
+                                          key_depths)
                 key_time = ts
                 key_pose_cw = pose_cw
                 initR = np.eye(3, dtype=np.float32)[None]

@@ -42,7 +42,26 @@ class TwoViewTracker:
                 method=self.model.pose_track)
             return R, t, aux.keep_ratio
 
+        @jax.jit
+        def _keyframe_features(variables, img, points):
+            feats = self.model.apply(variables, img,
+                                     method=self.model.features)
+            return self.model.apply(variables, feats, points,
+                                    method=self.model.sample_ref_features)
+
+        @jax.jit
+        def _track_cached(variables, ref_sampled, img2, k, points,
+                          depths, R0, t0):
+            intr = Intrinsics.from_array(k)
+            R, t, aux = self.model.apply(
+                variables, ref_sampled, img2, intr, points, depths, R0,
+                t0, method=self.model.pose_track_cached)
+            return R, t, aux.keep_ratio
+
         self._track = _track
+        self._keyframe_features = _keyframe_features
+        self._track_cached = _track_cached
+        self._kf = None  # (ref_sampled, k, points, depths)
 
     @classmethod
     def initialize(cls, cfg: Optional[Config] = None, seed: int = 0,
@@ -84,6 +103,40 @@ class TwoViewTracker:
         initT = np.asarray(initT, np.float32).reshape(B, -1)[:, :3]
         R, t, keep = self._track(self.variables, img1, img2, k, pts, d,
                                  initR, initT)
+        return np.asarray(R), np.asarray(t), np.asarray(keep)
+
+
+    def set_keyframe(self, image, intrinsics, points, depths) -> None:
+        """Cache the keyframe's per-level point features; subsequent
+        ``track_frame`` calls only run the target-image pyramid
+        (steady-state odometry path — the reference recomputes both
+        pyramids every frame, legacy/ba.py:447-459)."""
+        img = _batched(image, 4)
+        pts = _batched(np.asarray(points, np.float32), 3)
+        d = np.asarray(depths, np.float32)
+        if d.ndim == 3:
+            d = d[..., 0]
+        d = _batched(d, 2)
+        k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
+        ref_sampled = self._keyframe_features(self.variables, img, pts)
+        self._kf = (ref_sampled, k, pts, d)
+
+    def track_frame(self, image_tgt, initR=None, initT=None):
+        """Track against the cached keyframe (set_keyframe first).
+
+        Returns (R (B,3,3), t (B,3), keep_ratio (B,)) as numpy."""
+        assert self._kf is not None, "call set_keyframe first"
+        ref_sampled, k, pts, d = self._kf
+        img2 = _batched(image_tgt, 4)
+        B = img2.shape[0]
+        if initR is None:
+            initR = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        if initT is None:
+            initT = np.zeros((B, 3), np.float32)
+        initR = _batched(np.asarray(initR, np.float32), 3)
+        initT = np.asarray(initT, np.float32).reshape(B, -1)[:, :3]
+        R, t, keep = self._track_cached(self.variables, ref_sampled,
+                                        img2, k, pts, d, initR, initT)
         return np.asarray(R), np.asarray(t), np.asarray(keep)
 
 
