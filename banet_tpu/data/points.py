@@ -76,6 +76,30 @@ def select_points(image: np.ndarray, depth: np.ndarray, num_points: int,
     return pts[None], d[pick].astype(np.float32)[None, :, None]
 
 
+def select_textured_points(image: np.ndarray, num_points: int,
+                           texture_threshold: float = 120.0,
+                           rng: Optional[np.random.Generator] = None
+                           ) -> np.ndarray:
+    """Texture-only selection (monocular mode — no sensor depth gate).
+
+    Returns points (1, N, 2) float32; depth comes from the network's
+    depth/basis prediction downstream (BANet.bundle_adjust)."""
+    rng = rng or np.random.default_rng(0)
+    H = image.shape[0]
+    W = image.shape[1]
+    mag = sobel_magnitude(image).reshape(-1)
+    thr = texture_threshold
+    idx = np.flatnonzero(mag > thr)
+    while idx.size < max(num_points // 8, 16) and thr > 1e-3:
+        thr *= 0.5
+        idx = np.flatnonzero(mag > thr)
+    if idx.size == 0:
+        idx = np.arange(H * W)
+    pick = idx[rng.integers(0, idx.size, num_points)]
+    ys, xs = np.divmod(pick, W)
+    return np.stack([xs, ys], axis=-1).astype(np.float32)[None]
+
+
 def select_covisible_points(image1: np.ndarray, image2: np.ndarray,
                             depth1: np.ndarray, depth2: np.ndarray,
                             R: np.ndarray, t: np.ndarray,

@@ -58,9 +58,17 @@ class TwoViewTracker:
                 t0, method=self.model.pose_track_cached)
             return R, t, aux.keep_ratio
 
+        @jax.jit
+        def _bundle(variables, img1, img2, k, points):
+            intr = Intrinsics.from_array(k)
+            out = self.model.apply(variables, img1, img2, intr, points,
+                                   method=self.model.bundle_adjust)
+            return out["R"], out["t"], out["refined_depth_map"]
+
         self._track = _track
         self._keyframe_features = _keyframe_features
         self._track_cached = _track_cached
+        self._bundle = _bundle
         self._kf = None  # (ref_sampled, k, points, depths)
 
     @classmethod
@@ -105,6 +113,27 @@ class TwoViewTracker:
                                  initR, initT)
         return np.asarray(R), np.asarray(t), np.asarray(keep)
 
+
+    def track_monocular(self, image1, image2, intrinsics, points=None,
+                        num_points: int = 1024):
+        """Monocular two-view BA: no sensor depth — the network predicts
+        depth + basis for the reference frame and the joint (6+K) solve
+        refines pose and depth together (BundleResize path, reference
+        bundlenet.py:332-399).
+
+        Returns (R (B,3,3), t (B,3), refined_depth (B,H/2,W/2)) numpy.
+        """
+        from banet_tpu.data.points import select_textured_points
+
+        img1 = _batched(image1, 4)
+        img2 = _batched(image2, 4)
+        if points is None:
+            points = select_textured_points(np.asarray(image1),
+                                            num_points)
+        pts = _batched(np.asarray(points, np.float32), 3)
+        k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
+        R, t, depth = self._bundle(self.variables, img1, img2, k, pts)
+        return np.asarray(R), np.asarray(t), np.asarray(depth[..., 0])
 
     def set_keyframe(self, image, intrinsics, points, depths) -> None:
         """Cache the keyframe's per-level point features; subsequent

@@ -110,6 +110,26 @@ class TestBilinearSample:
         # d/dx of a bilinear interpolant along x = horizontal difference = 1.
         np.testing.assert_allclose(float(g), 1.0, atol=1e-5)
 
+    def test_block_variant_parity(self):
+        # Single-gather 2x2-block formulation must match bitwise,
+        # including gradients (see ops/resample.bilinear_sample_block).
+        from banet_tpu.ops.resample import bilinear_sample_block
+
+        feat = jax.random.normal(jax.random.PRNGKey(7), (2, 9, 11, 4))
+        px = jax.random.uniform(jax.random.PRNGKey(8), (2, 40),
+                                minval=-3.0, maxval=14.0)
+        py = jax.random.uniform(jax.random.PRNGKey(9), (2, 40),
+                                minval=-3.0, maxval=12.0)
+        a = bilinear_sample(feat, px, py)
+        b = bilinear_sample_block(feat, px, py)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+        ga = jax.grad(lambda f: bilinear_sample(f, px, py).sum())(feat)
+        gb = jax.grad(lambda f: bilinear_sample_block(f, px, py).sum())(
+            feat)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-6)
+
     def test_with_mask_wrapper(self):
         feat = jnp.ones((1, 4, 4, 2))
         vals, mask = bilinear_sample_with_mask(
