@@ -14,7 +14,7 @@ for each (reference, target) pair with known GT relative motion,
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -15,7 +15,7 @@ runner does).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import numpy as np

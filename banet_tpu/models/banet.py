@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from banet_tpu.ba.bundle_solver import depth_map_from_basis, \
     solve_bundle_pyramid
-from banet_tpu.ba.camera_solver import solve_pose_level, solve_pose_pyramid
+from banet_tpu.ba.camera_solver import solve_pose_pyramid
 from banet_tpu.config import Config
 from banet_tpu.geometry.camera import Intrinsics, backproject
 from banet_tpu.models.damping import DampingNet

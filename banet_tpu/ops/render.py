@@ -20,7 +20,7 @@ op has the same race).  Static shapes, fully jittable/vmappable.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ natively — the stable-gradient concern SURVEY.md §7 lists as hard part
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -21,13 +21,11 @@ reduced system bit-for-bit (psum is deterministic for a fixed mesh).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from banet_tpu.ba.window_ba import WindowBlocks, _damp, frame_blocks
+from banet_tpu.ba.window_ba import _damp, frame_blocks
 from banet_tpu.config import SolverConfig
 from banet_tpu.geometry.camera import Intrinsics
 from banet_tpu.geometry.se3 import se3_update

@@ -16,7 +16,6 @@ as [fx, fy, cx, cy]; leading batch axes optional (added if missing).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

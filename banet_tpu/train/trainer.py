@@ -9,8 +9,7 @@ pod slice unchanged.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import flax.struct
 import jax
