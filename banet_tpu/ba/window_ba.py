@@ -55,6 +55,8 @@ class WindowBlocks(NamedTuple):
     g: jnp.ndarray   # (F, 6)
     h: jnp.ndarray   # (F, K)      (to be summed over frames)
     residual: jnp.ndarray  # (F,) mean abs residual (monitoring)
+    absr: jnp.ndarray      # (F, C) per-channel mean abs residual
+                           # (learned-damping input)
 
 
 def frame_blocks(ref_feats: jnp.ndarray, tgt_feats_grad: jnp.ndarray,
@@ -86,8 +88,9 @@ def frame_blocks(ref_feats: jnp.ndarray, tgt_feats_grad: jnp.ndarray,
     D = jnp.einsum("nip,nij,njq->pq", Jw, H2, Jw)
     g = jnp.einsum("nip,ni->p", Jc, Gr)
     h = jnp.einsum("nip,ni->p", Jw, Gr)
-    res = jnp.mean(jnp.abs(r))
-    return WindowBlocks(C, E, D, g, h, res)
+    absr = jnp.mean(jnp.abs(r), axis=0)
+    res = jnp.mean(absr)
+    return WindowBlocks(C, E, D, g, h, res, absr)
 
 
 def _damp(M: jnp.ndarray, lam: float, floor: float) -> jnp.ndarray:
@@ -126,20 +129,30 @@ def schur_solve(blocks: WindowBlocks, lam: float,
 
 
 def window_ba_step(ref_feats, tgt_feats_grads, rays, init_depth, basis,
-                   Rs, ts, W, intr: Intrinsics, lam: float,
-                   cfg: SolverConfig, lam_depth: float = None):
+                   Rs, ts, W, intr: Intrinsics, lam, cfg: SolverConfig,
+                   lam_depth=None, damping_fn=None):
     """One joint GN step over all window frames + shared basis coeffs.
 
     Shapes (F = frames tracked against the keyframe):
       ref_feats (N, C) — keyframe features at the points (shared);
       tgt_feats_grads (F, H, Wd, 3C); rays (N, 3); init_depth (N,);
       basis (N, K); Rs (F, 3, 3); ts (F, 3); W (K,).
+    ``damping_fn``: optional learned-damping net ((1, C) mean |r| ->
+    (1,) lambda, the BundleIteration MLP); when given it REPLACES the
+    scalar ``lam`` (which then only scales it, reference
+    bundlenet.py:252-253: l2_regularizer_base * lambda_prediction).
     Returns (Rs', ts', W', mean_residual (F,)).
     """
     blocks = jax.vmap(
         lambda tg, R, t: frame_blocks(ref_feats, tg, rays, init_depth,
                                       basis, W, R, t, intr)
     )(tgt_feats_grads, Rs, ts)
+    if damping_fn is not None:
+        avg_r = jnp.mean(blocks.absr, axis=0, keepdims=True)  # (1, C)
+        lam_learned = damping_fn(avg_r)[0]
+        lam = lam * lam_learned
+        if lam_depth is not None:
+            lam_depth = lam_depth * lam_learned
     dxi, dW = schur_solve(blocks, lam, cfg.diag_floor, lam_depth)
     Rn, tn = se3_update(Rs, ts, dxi)
     return Rn, tn, W + dW, blocks.residual
@@ -148,7 +161,8 @@ def window_ba_step(ref_feats, tgt_feats_grads, rays, init_depth, basis,
 def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
                     intr: Intrinsics, cfg: SolverConfig,
                     num_iters: int = 5, lam: float = 1e-3,
-                    lam_depth: float = None, Rs0=None, ts0=None):
+                    lam_depth: float = None, Rs0=None, ts0=None,
+                    damping_fn=None):
     """Iterated window BA from (optionally) identity initialization."""
     F = tgt_feats_grads.shape[0]
     K = basis.shape[-1]
@@ -161,7 +175,7 @@ def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
         Rs, ts, W = carry
         Rs, ts, W, res = window_ba_step(
             ref_feats, tgt_feats_grads, rays, init_depth, basis, Rs, ts,
-            W, intr, lam, cfg, lam_depth)
+            W, intr, lam, cfg, lam_depth, damping_fn)
         return (Rs, ts, W), res
 
     (Rs, ts, W), res_hist = jax.lax.scan(body, (Rs, ts, W), None,

@@ -1,0 +1,83 @@
+"""Fused Pallas kernel for the damping-net MLP.
+
+The learned-damping predictor (models/damping.py — 5 Dense layers,
+SELU/tanh, then lambda = ||r||^(base+a)) is algebraically tiny
+(~1 MFLOP) but costs ~0.056 ms per GN iteration as ~12 separate XLA
+ops on sub-MXU shapes — about 40% of a whole iteration
+(benchmarks gn_breakdown).  This kernel runs the entire MLP chain in
+one Pallas program with every weight resident in VMEM (~0.6 MB f32),
+eliminating the per-op launch/sync overhead.
+
+Numerics identical to the Flax module: verified in
+tests/test_pallas_damping.py (interpret mode vs DampingNet.apply).
+Batch is padded to a multiple of 8 (f32 sublane tile).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SELU_ALPHA = 1.6732632423543772
+_SELU_SCALE = 1.0507009873554805
+
+
+def _selu(x):
+    return _SELU_SCALE * jnp.where(x > 0, x, _SELU_ALPHA *
+                                   (jnp.exp(x) - 1.0))
+
+
+def _kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, base_ref,
+            out_ref):
+    x = x_ref[:]                                        # (B, C)
+    dot = lambda a, w: jnp.dot(  # noqa: E731
+        a, w[:], preferred_element_type=jnp.float32)
+    h = _selu(dot(x, w1) + b1[:])
+    h = _selu(dot(h, w2) + b2[:])
+    h = _selu(dot(h, w3) + b3[:])
+    h = _selu(dot(h, w4) + b4[:])
+    a = jnp.tanh(dot(h, w5) + b5[:])                    # (B, 1)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    base = base_ref[0, 0]
+    out_ref[:] = jnp.exp((base + a) *
+                         jnp.log(jnp.maximum(norm, 1e-12)))
+
+
+def _flatten_params(params: Dict) -> list:
+    """Flax DampingNet params -> [w1, b1, ..., w5, b5] with biases as
+    (1, n) rows."""
+    out = []
+    for i in range(5):
+        layer = params[f"Dense_{i}"]
+        out.append(jnp.asarray(layer["kernel"], jnp.float32))
+        out.append(jnp.asarray(layer["bias"], jnp.float32)[None, :])
+    return out
+
+
+def damping_pallas(params: Dict, avg_residual: jnp.ndarray,
+                   exponent_base: float = 2.0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for DampingNet.apply({'params': params}, avg_residual).
+
+    params: the DampingNet param subtree (Dense_0..Dense_4).
+    avg_residual: (B, C) -> (B,) lambda.
+    """
+    B, C = avg_residual.shape
+    pad = (-B) % 8
+    x = jnp.pad(avg_residual.astype(jnp.float32), ((0, pad), (0, 0)))
+    flat = _flatten_params(params)
+    base = jnp.full((1, 1), exponent_base, jnp.float32)
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((B + pad, 1), jnp.float32),
+        in_specs=[vspec] * 12,
+        out_specs=vspec,
+        interpret=interpret,
+    )(x, *flat, base)
+    return out[:B, 0]

@@ -34,7 +34,17 @@ The bundle system (P = 6+K) keeps the XLA path: its per-point basis
 rows make M wider but the same techniques apply (round-2 item).
 
 Parity with the XLA path is tested in interpret mode on CPU
-(tests/test_pallas_gn.py) and on real TPU by benchmarks/microbench.py.
+(tests/test_pallas_gn.py).
+
+STATUS on the current toolchain: Mosaic rejects the per-point footprint
+DMA ("Slice shape along dimension 1 must be aligned to tiling (8), but
+is 2") — HBM sources keep a (8, 128)-tiled layout, so sub-8 sublane
+slices are illegal and the legal workaround (16-row aligned overfetch
+per tap pair) costs 8x the useful traffic.  Since the measured XLA
+gather already sits at the bandwidth roofline for these shapes
+(benchmarks/microbench.py "sampler"), the XLA path remains the default;
+this kernel is kept as the interpret-mode-verified blueprint for
+toolchains whose DMA engine accepts untiled HBM slices.
 """
 
 from __future__ import annotations

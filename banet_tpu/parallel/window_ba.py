@@ -34,7 +34,8 @@ from banet_tpu.geometry.se3 import se3_update
 def sharded_window_ba_step(mesh: Mesh, ref_feats, tgt_feats_grads, rays,
                            init_depth, basis, Rs, ts, W,
                            intr: Intrinsics, lam: float,
-                           cfg: SolverConfig, lam_depth: float = None):
+                           cfg: SolverConfig, lam_depth: float = None,
+                           damping_fn=None):
     """One window-BA GN step with frames sharded over mesh axis "frame".
 
     Same signature/semantics as ba.window_ba.window_ba_step; shapes
@@ -49,7 +50,21 @@ def sharded_window_ba_step(mesh: Mesh, ref_feats, tgt_feats_grads, rays,
                                           basis, W, R, t, intr)
         )(tgt_fg, Rs, ts)
 
-        C = _damp(blocks.C, lam, cfg.diag_floor)
+        local_lam = lam
+        local_lam_depth = lam_depth
+        if damping_fn is not None:
+            # Learned damping from the GLOBAL mean residual: psum the
+            # tiny per-channel stats (C floats) so every shard applies
+            # the identical lambda.
+            nsh = jax.lax.psum(1, "frame")
+            absr = jax.lax.psum(jnp.sum(blocks.absr, axis=0),
+                                "frame") / (blocks.absr.shape[0] * nsh)
+            lam_learned = damping_fn(absr[None])[0]
+            local_lam = lam * lam_learned
+            if lam_depth is not None:
+                local_lam_depth = lam_depth * lam_learned
+
+        C = _damp(blocks.C, local_lam, cfg.diag_floor)
         Cinv_E = jnp.linalg.solve(C, blocks.E)
         Cinv_g = jnp.linalg.solve(C, blocks.g[..., None])[..., 0]
 
@@ -63,8 +78,8 @@ def sharded_window_ba_step(mesh: Mesh, ref_feats, tgt_feats_grads, rays,
                                         "frame")
         # Identical arithmetic to ba.window_ba.schur_solve: damp the
         # summed D, then subtract the Schur correction.
-        D_t = _damp(D_sum, lam if lam_depth is None else lam_depth,
-                    cfg.diag_floor) - EC
+        D_t = _damp(D_sum, local_lam if local_lam_depth is None
+                    else local_lam_depth, cfg.diag_floor) - EC
         h_t = h - Eg
 
         dW = -jnp.linalg.solve(D_t, h_t)  # replicated K x K solve

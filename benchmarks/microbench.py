@@ -213,8 +213,68 @@ def bench_sampler_block():
     return report("sampler_block_4096x384", t, flops, bytes_acc)
 
 
+def bench_gn_breakdown():
+    """Sub-op timing of one GN iteration at the bench operating point
+    (N=1024, 128ch, 128x160 level map): where do the ~0.15 ms go?"""
+    from banet_tpu.ba.residuals import warp_residuals
+    from banet_tpu.config import SolverConfig
+    from banet_tpu.data.synthetic import make_two_view_problem
+    from banet_tpu.geometry.jacobians import camera_jacobian
+    from banet_tpu.geometry.se3 import se3_update
+    from banet_tpu.models.damping import DampingNet
+    from banet_tpu.ops.grad2d import append_spatial_gradient
+    from banet_tpu.ops.normal_eq import build_normal_equations
+    from banet_tpu.ops.solve import damped_solve
+
+    N, C = 1024, 128
+    cfg = SolverConfig()
+
+    def make(b, seed):
+        prob = make_two_view_problem(jax.random.PRNGKey(seed), batch=b,
+                                     height=128, width=160, channels=C,
+                                     num_points=N)
+        tgt = append_spatial_gradient(prob["tgt_feats"])
+        R0 = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+        t0 = jnp.zeros((b, 3))
+        return (prob["ref_feats"], tgt, prob["rays"], prob["depth"], R0,
+                t0, prob["intr"])
+
+    dnet = DampingNet(C)
+    dvars = dnet.init(jax.random.PRNGKey(0), jnp.zeros((1, C)))
+
+    def warp_only(ref, tgt, rays, depth, R, t, intr):
+        return warp_residuals(ref, tgt, rays, depth, R, t, intr)
+
+    def warp_plus_ne(ref, tgt, rays, depth, R, t, intr):
+        wr = warp_residuals(ref, tgt, rays, depth, R, t, intr)
+        J = camera_jacobian(wr.x, wr.y, wr.z, intr.fx, intr.fy)
+        return build_normal_equations(J, wr.G, wr.residual)
+
+    def full_iter(ref, tgt, rays, depth, R, t, intr):
+        wr = warp_residuals(ref, tgt, rays, depth, R, t, intr)
+        avg_r = wr.avg_abs_residual(False)
+        lam = dnet.apply(dvars, avg_r)
+        J = camera_jacobian(wr.x, wr.y, wr.z, intr.fx, intr.fy)
+        AtA, Atb = build_normal_equations(J, wr.G, wr.residual)
+        delta = -damped_solve(AtA, Atb, lam, cfg.diag_floor)
+        return se3_update(R, t, delta)
+
+    def damping_only(ref, tgt, rays, depth, R, t, intr):
+        return dnet.apply(dvars, jnp.mean(jnp.abs(ref), axis=1))
+
+    for name, fn in [("warp_sample_1024", warp_only),
+                     ("warp_ne_1024", warp_plus_ne),
+                     ("damping_mlp", damping_only),
+                     ("full_gn_iter_1024", full_iter)]:
+        jfn = jax.jit(reduced(fn))
+        t = slope_time(jfn, make, 4, 20)
+        flops, bytes_acc = hlo_cost(fn, *make(1, 0))
+        report(name, t, flops, bytes_acc)
+
+
 BENCHES = {
     "sampler": bench_sampler,
+    "gn_breakdown": bench_gn_breakdown,
     "sampler_block": bench_sampler_block,
     "normal_eq": bench_normal_eq,
     "gn_iteration": bench_gn_iteration,

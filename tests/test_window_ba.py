@@ -117,3 +117,30 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res1), np.asarray(res2),
                                atol=1e-5)
+
+
+@pytest.mark.multichip
+def test_sharded_learned_damping_matches():
+    from banet_tpu.ba.window_ba import window_ba_step
+
+    F = 8
+    prob = planar_window_problem(jax.random.PRNGKey(2), F=F, motion=0.01)
+    K = prob["basis"].shape[-1]
+    Rs0 = jnp.broadcast_to(jnp.eye(3), (F, 3, 3))
+    ts0 = jnp.zeros((F, 3))
+    W0 = jnp.zeros((K,))
+
+    def damping_fn(avg_r):
+        return jnp.linalg.norm(avg_r, axis=-1) ** 2
+
+    R1, t1, W1, _ = window_ba_step(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], Rs0, ts0, W0, prob["intr"],
+        1e-2, CFG, 10.0, damping_fn)
+    mesh = make_mesh(data=1, frame=8)
+    R2, t2, W2, _ = sharded_window_ba_step(
+        mesh, prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], Rs0, ts0, W0, prob["intr"],
+        1e-2, CFG, 10.0, damping_fn)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), atol=1e-4)
