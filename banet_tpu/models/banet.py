@@ -72,11 +72,15 @@ class BANet(nn.Module):
 
     def features(self, images: jnp.ndarray,
                  train: bool = False) -> List[jnp.ndarray]:
-        """(B, H, W, 3) in [0,255] -> pyramid maps coarse -> fine, each
-        float32 (the GN math runs in f32; conv stacks run in bf16)."""
+        """(B, H, W, 3) in [0,255] -> pyramid maps coarse -> fine, in
+        ``solver_feature_dtype`` (the GN reductions/solves are always
+        f32; bf16 maps halve the sampler's gather traffic)."""
+        fdt = (jnp.bfloat16
+               if self.cfg.model.solver_feature_dtype == "bfloat16"
+               else jnp.float32)
         layers = self.encoder(images, train)
         pyr = self.fpn(layers, train)
-        return [p.astype(jnp.float32) for p in pyr]
+        return [p.astype(fdt) for p in pyr]
 
     def depth_basis(self, images: jnp.ndarray, train: bool = False):
         """(B, H, W, 3) -> (depth (B,H/2,W/2,1), basis (B,H/2,W/2,K))."""
