@@ -38,19 +38,52 @@ class OdometryStats:
     num_keyframes: int = 0
     rejected_ratio_rekeys: int = 0
     time_gap_rekeys: int = 0
+    window_refinements: int = 0
 
 
 class OdometryRunner:
+    """Frame loop with keyframe policy; optionally refines each closed
+    keyframe window with the joint window BA (sliding-window mode —
+    BASELINE config #3's shape).
+
+    ``window_ba=True`` requires the tracker's model to provide
+    ``window_bundle_adjust`` (the flagship BANet does): when a keyframe
+    retires, the frames tracked against it are jointly re-solved with
+    the network's depth basis and the refined relative poses replace
+    the two-view estimates in the trajectory.
+    """
+
     def __init__(self, tracker: TwoViewTracker,
                  keyframe_cfg: Optional[KeyframeConfig] = None,
                  num_points: int = 1024,
                  texture_threshold: float = 120.0,
-                 seed: int = 0):
+                 seed: int = 0,
+                 window_ba: bool = False,
+                 window_max_frames: int = 4,
+                 window_iters: int = 3):
         self.tracker = tracker
         self.kf = keyframe_cfg or KeyframeConfig()
         self.num_points = num_points
         self.texture_threshold = texture_threshold
         self.rng = np.random.default_rng(seed)
+        self.window_ba = window_ba
+        self.window_max_frames = window_max_frames
+        self.window_iters = window_iters
+        if window_ba:
+            import jax
+
+            model = tracker.model
+
+            def _refine(variables, img_key, imgs_tgt, k, pts):
+                from banet_tpu.geometry.camera import Intrinsics
+
+                intr = Intrinsics.from_array(k)
+                out = model.apply(variables, img_key, imgs_tgt, intr,
+                                  pts, num_iters=self.window_iters,
+                                  method=model.window_bundle_adjust)
+                return out["Rs"], out["ts"]
+
+            self._refine = jax.jit(_refine)
 
     def run(self, frames: Iterable[Tuple[float, np.ndarray, np.ndarray]],
             intrinsics: np.ndarray) -> Tuple[Trajectory, OdometryStats]:
@@ -69,6 +102,40 @@ class OdometryRunner:
         key_pose_cw = np.eye(4)
         initR = np.eye(3, dtype=np.float32)[None]
         initT = np.zeros((1, 3), np.float32)
+        # (trajectory index, image) of frames tracked vs the keyframe.
+        window_buf = []
+
+        def refine_window():
+            """Joint window-BA re-solve of the retiring keyframe's
+            frames; returns the refined camera-from-world pose of the
+            last frame (the next keyframe's anchor)."""
+            if not (self.window_ba and window_buf):
+                return None
+            frames_w = window_buf[-self.window_max_frames:]
+            imgs = np.stack([img for _, img in frames_w])
+            # Pad to a fixed window length (repeat the last frame) so
+            # the jitted window solve compiles once, not per length.
+            n_valid = len(frames_w)
+            if n_valid < self.window_max_frames:
+                pad = np.repeat(imgs[-1:],
+                                self.window_max_frames - n_valid, axis=0)
+                imgs = np.concatenate([imgs, pad], axis=0)
+            k = np.asarray(intrinsics, np.float32).reshape(1, 4)
+            Rs, ts = self._refine(self.tracker.variables,
+                                  key_img.astype(np.float32), imgs, k,
+                                  key_pts)
+            Rs = np.asarray(Rs)
+            ts = np.asarray(ts)
+            stats.window_refinements += 1
+            last_pose = None
+            for fi, (ti, _img) in enumerate(frames_w):
+                rel = np.eye(4)
+                rel[:3, :3] = Rs[fi]
+                rel[:3, 3] = ts[fi]
+                refined = rel @ key_pose_cw
+                poses_cw[ti] = refined
+                last_pose = refined
+            return last_pose
 
         for ts, rgb, depth in frames:
             if key_img is None:
@@ -94,11 +161,16 @@ class OdometryRunner:
             pose_cw = rel @ key_pose_cw
             stamps.append(ts)
             poses_cw.append(pose_cw)
+            window_buf.append((len(poses_cw) - 1, rgb))
             stats.num_frames += 1
 
             rekey_ratio = float(keep[0]) < self.kf.min_keep_ratio
             rekey_time = (ts - key_time) > self.kf.max_time_gap
             if rekey_ratio or rekey_time:
+                refined_last = refine_window()
+                if refined_last is not None:
+                    pose_cw = refined_last
+                window_buf = []
                 stats.num_keyframes += 1
                 stats.rejected_ratio_rekeys += int(rekey_ratio)
                 stats.time_gap_rekeys += int(rekey_time and not rekey_ratio)
@@ -116,6 +188,7 @@ class OdometryRunner:
                 initR = R.astype(np.float32)
                 initT = t.astype(np.float32)
 
+        refine_window()  # close out the final open window
         # camera-from-world -> world-from-camera for TUM output.
         poses_wc = [np.linalg.inv(T) for T in poses_cw]
         return Trajectory(np.asarray(stamps), np.asarray(poses_wc)), stats
