@@ -73,8 +73,12 @@ def _cmd_evaluate(args) -> int:
     ib = [m[1] for m in matches]
     gt_m = Trajectory(gt.timestamps[ia], gt.poses[ia])
     est_m = Trajectory(est.timestamps[ib], est.poses[ib])
-    out.update(evaluate_rpe(gt_m, est_m, delta=args.rpe_delta,
-                            delta_unit=args.rpe_unit))
+    try:
+        out.update(evaluate_rpe(gt_m, est_m, delta=args.rpe_delta,
+                                delta_unit=args.rpe_unit))
+    except ValueError as e:
+        # A bad delta must not discard the ATE results.
+        out["rpe_error"] = str(e)
     print(json.dumps(out, indent=2))
     return 0
 
@@ -185,7 +189,13 @@ def main(argv=None) -> int:
     pt.set_defaults(fn=_cmd_train)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        # User-input problems surface as one clean line, not a
+        # traceback; genuine bugs still raise.
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -96,11 +96,17 @@ def load_tum_trajectory(path: str) -> Trajectory:
     stamps: List[float] = []
     poses: List[np.ndarray] = []
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            vals = [float(v) for v in line.replace(",", " ").split()]
+            try:
+                vals = [float(v) for v in line.replace(",", " ").split()]
+            except ValueError as e:
+                raise ValueError(
+                    f"{path}:{lineno}: unparseable trajectory line "
+                    f"({line[:40]!r}); expected 'timestamp tx ty tz "
+                    f"qx qy qz qw'") from e
             if len(vals) < 8:
                 continue
             stamps.append(vals[0])
