@@ -129,6 +129,14 @@ class DataConfig:
 class TrainConfig:
     batch_pairs: int = 4  # image pairs per step
     learning_rate: float = 1e-4
+    # "constant" | "cosine": constant-LR Adam was measured to drift
+    # past its accuracy sweet spot on long runs (artifacts/README.md);
+    # cosine decays to lr_final_scale * learning_rate over
+    # total_steps after a linear warmup.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 100
+    total_steps: int = 10000
+    lr_final_scale: float = 0.01
     weight_decay: float = 0.0
     loss_rotation_weight: float = 1.0
     loss_translation_weight: float = 1.0

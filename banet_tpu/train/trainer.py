@@ -31,8 +31,15 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    tx = optax.adamw(cfg.train.learning_rate,
-                     weight_decay=cfg.train.weight_decay)
+    tc = cfg.train
+    if tc.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=tc.learning_rate,
+            warmup_steps=tc.warmup_steps, decay_steps=tc.total_steps,
+            end_value=tc.lr_final_scale * tc.learning_rate)
+    else:
+        lr = tc.learning_rate
+    tx = optax.adamw(lr, weight_decay=tc.weight_decay)
     return optax.chain(optax.clip_by_global_norm(10.0), tx)
 
 
