@@ -240,7 +240,12 @@ class BANet(nn.Module):
             self._damping_fns(list(levels)), self.cfg.solver,
             iters_per_level=(1,) * len(levels))
         refined_depth = depth_map_from_basis(depth_map, basis_map, W)
+        # Per-level full depth maps, as the reference emits for
+        # supervision (bundlenet.py:395-397).
+        per_level_depth = [depth_map_from_basis(depth_map, basis_map, Wl)
+                           for (_Rl, _tl, Wl) in per_level]
         return dict(R=R, t=t, W=W, per_level=per_level,
+                    per_level_depth_maps=per_level_depth,
                     init_depth_map=depth_map, basis_map=basis_map,
                     refined_depth_map=refined_depth)
 
