@@ -25,11 +25,17 @@ def _cmd_odometry(args) -> int:
     import numpy as np
 
     from banet_tpu.config import default_config
-    from banet_tpu.data.tum import TumSequence
     from banet_tpu.eval.trajectory import save_tum_trajectory
     from banet_tpu.tracking import OdometryRunner, TwoViewTracker
 
-    seq = TumSequence(args.sequence)
+    if args.format == "scannet":
+        from banet_tpu.data.scannet import ScanNetScene
+
+        seq = ScanNetScene(args.sequence)
+    else:
+        from banet_tpu.data.tum import TumSequence
+
+        seq = TumSequence(args.sequence)
     if len(seq) == 0:
         print("empty sequence", file=sys.stderr)
         return 1
@@ -47,7 +53,8 @@ def _cmd_odometry(args) -> int:
         tracker.variables = merged
         print(f"restored {len(restored)} vars, skipped {len(skipped)}",
               file=sys.stderr)
-    runner = OdometryRunner(tracker, num_points=args.num_points)
+    runner = OdometryRunner(tracker, num_points=args.num_points,
+                            window_ba=args.window_ba)
     frames = ((f.timestamp, f.load_rgb(), f.load_depth())
               for f in seq.frames[:args.max_frames])
     traj, stats = runner.run(frames, seq.intrinsics)
@@ -160,6 +167,11 @@ def main(argv=None) -> int:
     po.add_argument("--num-points", type=int, default=1024)
     po.add_argument("--max-frames", type=int, default=100000)
     po.add_argument("--checkpoint", default=None)
+    po.add_argument("--format", choices=["tum", "scannet"],
+                    default="tum")
+    po.add_argument("--window-ba", action="store_true",
+                    help="refine each keyframe window with the joint "
+                    "Schur-complement BA")
     po.set_defaults(fn=_cmd_odometry)
 
     pe = sub.add_parser("evaluate", help="ATE + RPE between TUM "
