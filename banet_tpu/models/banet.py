@@ -201,16 +201,20 @@ class BANet(nn.Module):
                       R0: Optional[jnp.ndarray] = None,
                       t0: Optional[jnp.ndarray] = None,
                       train: bool = False,
-                      levels: Tuple[int, ...] = (2, 3)):
+                      levels: Optional[Tuple[int, ...]] = None):
         """Joint pose + depth BA (BundleResize equivalent, reference
         bundlenet.py:332-399): predict depth + basis for the reference
         frame, then refine pose and basis coefficients on the finest
-        pyramid levels.
+        pyramid levels.  ``levels`` defaults to the two finest (the
+        reference's levels 2..3 of 4, bundlenet.py:376).
 
         Returns dict with per-level poses, final (R, t, W), the initial
         and refined full depth maps, and the basis.
         """
         B = image_ref.shape[0]
+        if levels is None:
+            L = self.cfg.model.pyramid_levels
+            levels = (L - 2, L - 1)
         if R0 is None:
             R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
         if t0 is None:
