@@ -93,6 +93,29 @@ def frame_blocks(ref_feats: jnp.ndarray, tgt_feats_grad: jnp.ndarray,
     return WindowBlocks(C, E, D, g, h, res, absr)
 
 
+def mask_blocks(blocks: WindowBlocks, m: jnp.ndarray) -> WindowBlocks:
+    """Zero out the contribution of invalid frames (m (F,) in {0,1}).
+
+    The odometry runner pads short windows to a fixed F so the jitted
+    solve compiles once; padded frames must contribute NOTHING to the
+    joint system (unmasked, a repeated frame double-counts its normal
+    equations and biases W and every pose).  The masked frame's pose
+    block is replaced by the identity so the per-frame solves stay
+    well-conditioned; its (garbage-free: zero) update leaves its pose
+    unchanged.
+    """
+    mf = m.astype(blocks.C.dtype)
+    eye = jnp.eye(blocks.C.shape[-1], dtype=blocks.C.dtype)
+    return WindowBlocks(
+        C=blocks.C * mf[:, None, None] + (1.0 - mf)[:, None, None] * eye,
+        E=blocks.E * mf[:, None, None],
+        D=blocks.D * mf[:, None, None],
+        g=blocks.g * mf[:, None],
+        h=blocks.h * mf[:, None],
+        residual=blocks.residual * mf,
+        absr=blocks.absr * mf[:, None])
+
+
 def _damp(M: jnp.ndarray, lam: float, floor: float) -> jnp.ndarray:
     d = jnp.diagonal(M, axis1=-2, axis2=-1)
     return M + jnp.eye(M.shape[-1], dtype=M.dtype) * ((d + floor) *
@@ -130,7 +153,7 @@ def schur_solve(blocks: WindowBlocks, lam: float,
 
 def window_ba_step(ref_feats, tgt_feats_grads, rays, init_depth, basis,
                    Rs, ts, W, intr: Intrinsics, lam, cfg: SolverConfig,
-                   lam_depth=None, damping_fn=None):
+                   lam_depth=None, damping_fn=None, frame_mask=None):
     """One joint GN step over all window frames + shared basis coeffs.
 
     Shapes (F = frames tracked against the keyframe):
@@ -141,14 +164,22 @@ def window_ba_step(ref_feats, tgt_feats_grads, rays, init_depth, basis,
     (1,) lambda, the BundleIteration MLP); when given it REPLACES the
     scalar ``lam`` (which then only scales it, reference
     bundlenet.py:252-253: l2_regularizer_base * lambda_prediction).
+    ``frame_mask``: optional (F,) validity; masked frames contribute
+    nothing to the joint system and keep their pose (window padding).
     Returns (Rs', ts', W', mean_residual (F,)).
     """
     blocks = jax.vmap(
         lambda tg, R, t: frame_blocks(ref_feats, tg, rays, init_depth,
                                       basis, W, R, t, intr)
     )(tgt_feats_grads, Rs, ts)
+    n_valid = jnp.asarray(float(blocks.absr.shape[0]))
+    if frame_mask is not None:
+        blocks = mask_blocks(blocks, frame_mask)
+        n_valid = jnp.maximum(jnp.sum(frame_mask.astype(jnp.float32)),
+                              1.0)
     if damping_fn is not None:
-        avg_r = jnp.mean(blocks.absr, axis=0, keepdims=True)  # (1, C)
+        avg_r = (jnp.sum(blocks.absr, axis=0, keepdims=True) /
+                 n_valid)  # (1, C)
         lam_learned = damping_fn(avg_r)[0]
         lam = lam * lam_learned
         if lam_depth is not None:
@@ -162,7 +193,7 @@ def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
                     intr: Intrinsics, cfg: SolverConfig,
                     num_iters: int = 5, lam: float = 1e-3,
                     lam_depth: float = None, Rs0=None, ts0=None,
-                    damping_fn=None):
+                    damping_fn=None, frame_mask=None):
     """Iterated window BA from (optionally) identity initialization."""
     F = tgt_feats_grads.shape[0]
     K = basis.shape[-1]
@@ -175,7 +206,7 @@ def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
         Rs, ts, W = carry
         Rs, ts, W, res = window_ba_step(
             ref_feats, tgt_feats_grads, rays, init_depth, basis, Rs, ts,
-            W, intr, lam, cfg, lam_depth, damping_fn)
+            W, intr, lam, cfg, lam_depth, damping_fn, frame_mask)
         return (Rs, ts, W), res
 
     (Rs, ts, W), res_hist = jax.lax.scan(body, (Rs, ts, W), None,

@@ -106,11 +106,17 @@ class GeometryConfig:
     The reference mixes two ray conventions: unit-normalized rays
     (reference bundlenet.py:119 l2_normalize) where "depth" is distance
     along the ray, and z=1 rays (reference legacy/ba.py:27-34) where
-    depth is plain z-depth. We support both; the flagship uses
-    ``normalized_rays=True`` to match the trained BundleNet layer.
+    depth is plain z-depth. We support both, but every depth source
+    this framework consumes (TUM/ScanNet sensor depth, the synthetic
+    renderer, the net's depth head supervised against them) is plain
+    z-depth, so the default is ``False``; feeding z-depth through the
+    normalized-ray convention causes a systematic pose bias growing
+    toward the image corners (~7% of motion at TUM FOV).  Set ``True``
+    only when every depth entering pose_track/bundle_adjust/losses is
+    distance-along-ray (d * ||[(u-cx)/fx, (v-cy)/fy, 1]||).
     """
 
-    normalized_rays: bool = True
+    normalized_rays: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,7 +139,7 @@ class TrainConfig:
     # past its accuracy sweet spot on long runs (artifacts/README.md);
     # cosine decays to lr_final_scale * learning_rate over
     # total_steps after a linear warmup.
-    lr_schedule: str = "constant"
+    lr_schedule: str = "cosine"
     warmup_steps: int = 100
     total_steps: int = 10000
     lr_final_scale: float = 0.01

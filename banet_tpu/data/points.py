@@ -38,11 +38,12 @@ def sobel_magnitude(image: np.ndarray) -> np.ndarray:
     gy = np.zeros((H, W, C), np.float32)
     for dy in range(3):
         for dx in range(3):
-            w = _SOBEL_X[dy, dx]
-            if w:
+            wx = _SOBEL_X[dy, dx]
+            wy = _SOBEL_X[dx, dy]
+            if wx or wy:
                 patch = pad[dy:dy + H, dx:dx + W]
-                gx += w * patch
-                gy += _SOBEL_X[dx, dy] * patch
+                gx += wx * patch
+                gy += wy * patch
     return np.sqrt((gx ** 2).sum(-1) + (gy ** 2).sum(-1))
 
 

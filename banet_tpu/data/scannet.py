@@ -33,6 +33,10 @@ class ScanNetFrame:
     color_path: str
     depth_path: str
     pose: Optional[np.ndarray]  # 4x4 camera-to-world, or None
+    # Working resolution = the depth grid (SensReader exports 1296x968
+    # color vs 640x480 depth; intrinsic_depth.txt matches the latter).
+    # Color is resized here so rgb/depth/intrinsics agree.
+    size: Optional[Tuple[int, int]] = None  # (H, W) of the depth grid
 
     @property
     def timestamp(self) -> float:
@@ -43,8 +47,12 @@ class ScanNetFrame:
     def load_rgb(self) -> np.ndarray:
         from PIL import Image
 
-        return np.asarray(Image.open(self.color_path).convert("RGB"),
-                          np.float32)
+        img = Image.open(self.color_path).convert("RGB")
+        if self.size is not None and img.size != (self.size[1],
+                                                  self.size[0]):
+            img = img.resize((self.size[1], self.size[0]),
+                             Image.BILINEAR)
+        return np.asarray(img, np.float32)
 
     def load_depth(self) -> np.ndarray:
         from PIL import Image
@@ -88,6 +96,14 @@ class ScanNetScene:
                 depth_path=dp, pose=pose))
         self.frames = frames
         self.intrinsics = self._load_intrinsics()
+        if frames:
+            from PIL import Image
+
+            with Image.open(frames[0].depth_path) as im:
+                w, h = im.size
+            self.size = (h, w)
+            for f in frames:
+                f.size = self.size
 
     def _load_intrinsics(self) -> np.ndarray:
         for name in ("intrinsic_depth.txt", "intrinsic_color.txt"):
@@ -121,12 +137,20 @@ class ScanNetScene:
 
 def write_fake_scannet_scene(scene_dir: str, num_frames: int = 6,
                              size: Tuple[int, int] = (64, 96),
-                             seed: int = 0) -> "ScanNetScene":
-    """Materialize a tiny ScanNet-layout scene for tests."""
+                             seed: int = 0,
+                             color_size: Optional[Tuple[int, int]] = None
+                             ) -> "ScanNetScene":
+    """Materialize a tiny ScanNet-layout scene for tests.
+
+    ``size`` is the depth (= working) resolution; ``color_size``
+    defaults to 1.5x it, mimicking real SensReader exports where color
+    frames are larger than the depth grid."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
     H, W = size
+    cH, cW = color_size if color_size is not None else (H * 3 // 2,
+                                                        W * 3 // 2)
     for sub in ("color", "depth", "pose", "intrinsic"):
         os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
     K = np.eye(4)
@@ -134,7 +158,7 @@ def write_fake_scannet_scene(scene_dir: str, num_frames: int = 6,
     np.savetxt(os.path.join(scene_dir, "intrinsic",
                             "intrinsic_depth.txt"), K)
     for i in range(num_frames):
-        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        img = rng.integers(0, 255, (cH, cW, 3), dtype=np.uint8)
         d16 = (rng.uniform(1.0, 4.0, (H, W)) * DEPTH_SCALE_MM).astype(
             np.uint16)
         Image.fromarray(img).save(

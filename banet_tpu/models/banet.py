@@ -70,22 +70,31 @@ class BANet(nn.Module):
     def backbone(self, images: jnp.ndarray, train: bool = False):
         return self.encoder(images, train)
 
-    def features(self, images: jnp.ndarray,
-                 train: bool = False) -> List[jnp.ndarray]:
-        """(B, H, W, 3) in [0,255] -> pyramid maps coarse -> fine, in
+    def features_from_layers(self, layers: List[jnp.ndarray],
+                             train: bool = False) -> List[jnp.ndarray]:
+        """Encoder layer list -> pyramid maps coarse -> fine, in
         ``solver_feature_dtype`` (the GN reductions/solves are always
         f32; bf16 maps halve the sampler's gather traffic)."""
         fdt = (jnp.bfloat16
                if self.cfg.model.solver_feature_dtype == "bfloat16"
                else jnp.float32)
-        layers = self.encoder(images, train)
         pyr = self.fpn(layers, train)
         return [p.astype(fdt) for p in pyr]
 
+    def features(self, images: jnp.ndarray,
+                 train: bool = False) -> List[jnp.ndarray]:
+        """(B, H, W, 3) in [0,255] -> pyramid maps coarse -> fine."""
+        return self.features_from_layers(self.encoder(images, train),
+                                         train)
+
+    def depth_basis_from_layers(self, layers: List[jnp.ndarray],
+                                train: bool = False):
+        return self.dla(layers[:5], train)
+
     def depth_basis(self, images: jnp.ndarray, train: bool = False):
         """(B, H, W, 3) -> (depth (B,H/2,W/2,1), basis (B,H/2,W/2,K))."""
-        layers = self.encoder(images, train)
-        return self.dla(layers[:5], train)
+        return self.depth_basis_from_layers(self.encoder(images, train),
+                                            train)
 
     # ---------------- solver plumbing ----------------
 
@@ -124,7 +133,9 @@ class BANet(nn.Module):
                    point_depths: jnp.ndarray,
                    R0: Optional[jnp.ndarray] = None,
                    t0: Optional[jnp.ndarray] = None,
-                   train: bool = False):
+                   train: bool = False,
+                   feats_ref: Optional[List[jnp.ndarray]] = None,
+                   feats_tgt: Optional[List[jnp.ndarray]] = None):
         """Coarse-to-fine pose-only tracking (CameraResize equivalent,
         reference bundlenet.py:280-329, without the train-crop remap —
         apply geometry.crop_remap upstream when training on crops).
@@ -135,6 +146,9 @@ class BANet(nn.Module):
           points: (B, N, 2) full-res pixel coords in the reference view.
           point_depths: (B, N) depths at the points (sensor depth in the
             tracker; sampled net depth in training).
+          feats_ref/feats_tgt: optional precomputed pyramids (one
+            encoder/FPN pass per image per step when the caller also
+            runs bundle_adjust — see __call__).
         Returns: (R, t, aux) — aux.keep_ratio is the keyframe health
           signal.
         """
@@ -143,8 +157,10 @@ class BANet(nn.Module):
             R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
         if t0 is None:
             t0 = jnp.zeros((B, 3))
-        feats_ref = self.features(image_ref, train)
-        feats_tgt = self.features(image_tgt, train)
+        if feats_ref is None:
+            feats_ref = self.features(image_ref, train)
+        if feats_tgt is None:
+            feats_tgt = self.features(image_tgt, train)
         levels = list(range(self.cfg.model.pyramid_levels))
         ref_l, tgt_l, intr_l = self._level_inputs(
             feats_ref, feats_tgt, points, intr, levels)
@@ -201,7 +217,11 @@ class BANet(nn.Module):
                       R0: Optional[jnp.ndarray] = None,
                       t0: Optional[jnp.ndarray] = None,
                       train: bool = False,
-                      levels: Optional[Tuple[int, ...]] = None):
+                      levels: Optional[Tuple[int, ...]] = None,
+                      feats_ref: Optional[List[jnp.ndarray]] = None,
+                      feats_tgt: Optional[List[jnp.ndarray]] = None,
+                      depth_basis_maps: Optional[Tuple[jnp.ndarray,
+                                                       jnp.ndarray]] = None):
         """Joint pose + depth BA (BundleResize equivalent, reference
         bundlenet.py:332-399): predict depth + basis for the reference
         frame, then refine pose and basis coefficients on the finest
@@ -220,9 +240,13 @@ class BANet(nn.Module):
         if t0 is None:
             t0 = jnp.zeros((B, 3))
 
-        feats_ref = self.features(image_ref, train)
-        feats_tgt = self.features(image_tgt, train)
-        depth_map, basis_map = self.depth_basis(image_ref, train)
+        if feats_ref is None:
+            feats_ref = self.features(image_ref, train)
+        if feats_tgt is None:
+            feats_tgt = self.features(image_tgt, train)
+        if depth_basis_maps is None:
+            depth_basis_maps = self.depth_basis(image_ref, train)
+        depth_map, basis_map = depth_basis_maps
 
         # Sample init depth (gradient stopped, reference bundlenet.py:341)
         # and basis at the points; the depth/basis maps live at 1/2 res.
@@ -256,7 +280,8 @@ class BANet(nn.Module):
     def window_bundle_adjust(self, image_key: jnp.ndarray,
                              images_tgt: jnp.ndarray, intr: Intrinsics,
                              points: jnp.ndarray, num_iters: int = 5,
-                             level: int = 2, train: bool = False):
+                             level: int = 2, train: bool = False,
+                             frame_mask: Optional[jnp.ndarray] = None):
         """Keyframe-window BA end-to-end (BASELINE configs #2/#3): the
         network predicts the keyframe's depth + basis, and a joint
         Schur-complement GN solve refines all F frame poses plus the
@@ -265,7 +290,10 @@ class BANet(nn.Module):
         Args:
           image_key: (H, W, 3) keyframe; images_tgt: (F, H, W, 3);
           intr: unbatched-style Intrinsics with shape-(1,) fields;
-          points: (1, N, 2) keyframe pixel coords.
+          points: (1, N, 2) keyframe pixel coords;
+          frame_mask: optional (F,) validity — padded frames (used to
+            keep the window length static under jit) contribute nothing
+            to the joint solve.
         Returns dict(Rs (F,3,3), ts (F,3), W (K,), residual_history,
           refined_depth_map (H/2, W/2)).
         """
@@ -274,8 +302,10 @@ class BANet(nn.Module):
         L = self.cfg.model.pyramid_levels
         scale = 2 ** (L - 1 - level)
 
-        feats_key = self.features(image_key[None], train)
-        depth_map, basis_map = self.depth_basis(image_key[None], train)
+        layers_key = self.encoder(image_key[None], train)
+        feats_key = self.features_from_layers(layers_key, train)
+        depth_map, basis_map = self.depth_basis_from_layers(layers_key,
+                                                            train)
         F = images_tgt.shape[0]
         feats_tgt = self.features(images_tgt, train)
         tgt_fg = append_spatial_gradient(feats_tgt[level])  # (F,h,w,3C)
@@ -300,7 +330,7 @@ class BANet(nn.Module):
             self.cfg.solver, num_iters=num_iters,
             lam=self.cfg.solver.bundle_damping_base,
             lam_depth=self.cfg.solver.bundle_damping_base,
-            damping_fn=damping)
+            damping_fn=damping, frame_mask=frame_mask)
         refined = depth_map_from_basis(depth_map, basis_map,
                                        W[None])[0, ..., 0]
         return dict(Rs=Rs, ts=ts, W=W, residual_history=res_hist,
@@ -309,12 +339,26 @@ class BANet(nn.Module):
     def __call__(self, image_ref, image_tgt, intr, points, train=False):
         """Init/forward path touching every submodule (all pyramid-level
         damping nets and the decoder), so ``module.init`` creates the
-        complete parameter tree."""
+        complete parameter tree.
+
+        Runs the encoder exactly once per image and shares the layer
+        list between the FPN and the DLA decoder, so the full
+        pose-then-bundle step costs 2 encoder passes, not 5."""
         B, N = points.shape[0], points.shape[1]
         depths = jnp.ones((B, N), dtype=jnp.float32)
+        layers_ref = self.encoder(image_ref, train)
+        layers_tgt = self.encoder(image_tgt, train)
+        feats_ref = self.features_from_layers(layers_ref, train)
+        feats_tgt = self.features_from_layers(layers_tgt, train)
+        db = self.depth_basis_from_layers(layers_ref, train)
         R, t, aux = self.pose_track(image_ref, image_tgt, intr, points,
-                                    depths, train=train)
+                                    depths, train=train,
+                                    feats_ref=feats_ref,
+                                    feats_tgt=feats_tgt)
         out = self.bundle_adjust(image_ref, image_tgt, intr, points,
-                                 R0=R, t0=t, train=train)
+                                 R0=R, t0=t, train=train,
+                                 feats_ref=feats_ref,
+                                 feats_tgt=feats_tgt,
+                                 depth_basis_maps=db)
         out.update(pose_R=R, pose_t=t, pose_aux=aux)
         return out

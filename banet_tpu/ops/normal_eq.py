@@ -22,9 +22,8 @@ axis is contracted once, never materializing the (N, C, P) product.
 
 FLOP count at the reference operating point (B=2, N=4096, C=128, P=38)
 is ~3 GFLOP — microseconds on one MXU; the op is bandwidth-bound on
-reading G.  A fused Pallas kernel that consumes G directly out of the
-sampler lives with the sampler kernel (ops/resample_pallas.py) and is a
-performance-pass item, not a correctness one.
+reading G.  A fused Pallas kernel covering the whole GN iteration
+(sample + residual + normal equations) lives in ops/pallas_gn.py.
 
 The ordering/shape hazard of the CUDA op's static scratch buffers
 (utils.cu:210-296: grad kernel reads the forward's per-GPU buffer, first

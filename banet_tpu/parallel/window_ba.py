@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from banet_tpu.ba.window_ba import _damp, frame_blocks
+from banet_tpu.ba.window_ba import _damp, frame_blocks, mask_blocks
 from banet_tpu.config import SolverConfig
 from banet_tpu.geometry.camera import Intrinsics
 from banet_tpu.geometry.se3 import se3_update
@@ -35,30 +35,35 @@ def sharded_window_ba_step(mesh: Mesh, ref_feats, tgt_feats_grads, rays,
                            init_depth, basis, Rs, ts, W,
                            intr: Intrinsics, lam: float,
                            cfg: SolverConfig, lam_depth: float = None,
-                           damping_fn=None):
+                           damping_fn=None, frame_mask=None):
     """One window-BA GN step with frames sharded over mesh axis "frame".
 
     Same signature/semantics as ba.window_ba.window_ba_step; shapes
     carry the full (unsharded) window and the shard_map decomposes them.
     F must be divisible by the frame-axis size.
     """
+    if frame_mask is None:
+        frame_mask = jnp.ones((tgt_feats_grads.shape[0],), jnp.float32)
 
-    def step_shard(ref_feats, tgt_fg, rays, init_depth, basis, Rs, ts, W):
-        # tgt_fg/Rs/ts: local frame shard; everything else replicated.
+    def step_shard(ref_feats, tgt_fg, rays, init_depth, basis, Rs, ts, W,
+                   fmask):
+        # tgt_fg/Rs/ts/fmask: local frame shard; the rest replicated.
         blocks = jax.vmap(
             lambda tg, R, t: frame_blocks(ref_feats, tg, rays, init_depth,
                                           basis, W, R, t, intr)
         )(tgt_fg, Rs, ts)
+        blocks = mask_blocks(blocks, fmask)
 
         local_lam = lam
         local_lam_depth = lam_depth
         if damping_fn is not None:
-            # Learned damping from the GLOBAL mean residual: psum the
-            # tiny per-channel stats (C floats) so every shard applies
-            # the identical lambda.
-            nsh = jax.lax.psum(1, "frame")
-            absr = jax.lax.psum(jnp.sum(blocks.absr, axis=0),
-                                "frame") / (blocks.absr.shape[0] * nsh)
+            # Learned damping from the GLOBAL mean residual over VALID
+            # frames: psum the tiny per-channel stats (C floats + one
+            # count) so every shard applies the identical lambda.
+            absr_sum, n_valid = jax.lax.psum(
+                (jnp.sum(blocks.absr, axis=0),
+                 jnp.sum(fmask.astype(jnp.float32))), "frame")
+            absr = absr_sum / jnp.maximum(n_valid, 1.0)
             lam_learned = damping_fn(absr[None])[0]
             local_lam = lam * lam_learned
             if lam_depth is not None:
@@ -90,9 +95,9 @@ def sharded_window_ba_step(mesh: Mesh, ref_feats, tgt_feats_grads, rays,
     fn = jax.shard_map(
         step_shard, mesh=mesh,
         in_specs=(P(), P("frame"), P(), P(), P(), P("frame"), P("frame"),
-                  P()),
+                  P(), P("frame")),
         out_specs=(P("frame"), P("frame"), P(), P("frame")),
     )
     Rn, tn, dW, res = fn(ref_feats, tgt_feats_grads, rays, init_depth,
-                         basis, Rs, ts, W)
+                         basis, Rs, ts, W, frame_mask)
     return Rn, tn, W + dW, res

@@ -218,7 +218,13 @@ void* prefetcher_create(const char** rgb_paths, const char** depth_paths,
   p->height = height;
   p->width = width;
   p->depth_scale = depth_scale;
+  // A worker for frame f may claim slot (f % capacity) once the slot's
+  // previous tenant has been emitted; with more workers than slots two
+  // workers could otherwise race a generation apart into the same slot,
+  // so keep at least num_threads+1 slots.
+  int min_cap = (num_threads < 1 ? 1 : num_threads) + 1;
   p->capacity = capacity < 2 ? 2 : capacity;
+  if (p->capacity < min_cap) p->capacity = min_cap;
   for (int i = 0; i < num_frames; ++i) {
     p->rgb_paths.emplace_back(rgb_paths[i]);
     p->depth_paths.emplace_back(depth_paths ? depth_paths[i] : "");

@@ -74,12 +74,13 @@ class OdometryRunner:
 
             model = tracker.model
 
-            def _refine(variables, img_key, imgs_tgt, k, pts):
+            def _refine(variables, img_key, imgs_tgt, k, pts, fmask):
                 from banet_tpu.geometry.camera import Intrinsics
 
                 intr = Intrinsics.from_array(k)
                 out = model.apply(variables, img_key, imgs_tgt, intr,
                                   pts, num_iters=self.window_iters,
+                                  frame_mask=fmask,
                                   method=model.window_bundle_adjust)
                 return out["Rs"], out["ts"]
 
@@ -114,8 +115,12 @@ class OdometryRunner:
             frames_w = window_buf[-self.window_max_frames:]
             imgs = np.stack([img for _, img in frames_w])
             # Pad to a fixed window length (repeat the last frame) so
-            # the jitted window solve compiles once, not per length.
+            # the jitted window solve compiles once, not per length;
+            # the frame mask zeroes the padded frames' contribution to
+            # the joint system (they would otherwise double-count).
             n_valid = len(frames_w)
+            fmask = np.zeros((self.window_max_frames,), np.float32)
+            fmask[:n_valid] = 1.0
             if n_valid < self.window_max_frames:
                 pad = np.repeat(imgs[-1:],
                                 self.window_max_frames - n_valid, axis=0)
@@ -123,7 +128,7 @@ class OdometryRunner:
             k = np.asarray(intrinsics, np.float32).reshape(1, 4)
             Rs, ts = self._refine(self.tracker.variables,
                                   key_img.astype(np.float32), imgs, k,
-                                  key_pts)
+                                  key_pts, fmask)
             Rs = np.asarray(Rs)
             ts = np.asarray(ts)
             stats.window_refinements += 1

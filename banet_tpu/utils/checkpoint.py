@@ -60,9 +60,18 @@ def optimistic_restore(path: str, template: Any) -> Tuple[Any, list, list]:
         key = jax.tree_util.keystr(path_leaf)
         if key in saved_flat:
             cand = np.asarray(saved_flat[key])
-            if tuple(cand.shape) == tuple(np.shape(tmpl_leaf)):
+            tmpl_dtype = np.dtype(getattr(tmpl_leaf, "dtype",
+                                          np.asarray(tmpl_leaf).dtype))
+            # Restore only shape-equal AND dtype-kind-compatible leaves:
+            # a float may restore into a wider/narrower float, but an
+            # int step counter or bool flag must not be coerced into a
+            # float leaf (or vice versa) by a silent lossy cast.
+            same_kind = (cand.dtype.kind == tmpl_dtype.kind or
+                         {cand.dtype.kind, tmpl_dtype.kind} <= {"f", "V"})
+            if (tuple(cand.shape) == tuple(np.shape(tmpl_leaf)) and
+                    same_kind):
                 restored.append(key)
-                return jax.numpy.asarray(cand, dtype=tmpl_leaf.dtype)
+                return jax.numpy.asarray(cand, dtype=tmpl_dtype)
         skipped.append(key)
         return tmpl_leaf
 

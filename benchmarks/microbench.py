@@ -272,8 +272,185 @@ def bench_gn_breakdown():
         report(name, t, flops, bytes_acc)
 
 
+def bench_iter_slope():
+    """Per-iteration marginal cost at B=1 via the iteration-count slope.
+
+    The batch-slope benches measure the marginal cost per BATCH element,
+    which cancels exactly the per-kernel dispatch overhead that
+    dominates the B=1 tracking latency (27 sequential GN iterations).
+    Here each variant runs the iteration body k times inside ONE
+    ``lax.fori_loop`` with a *traced* trip count (one compile per
+    variant), serialised through the carry; the (T(k2)-T(k1))/(k2-k1)
+    slope is the true per-iteration latency including intra-kernel
+    sequencing.  Variants peel off one component at a time.
+    """
+    from banet_tpu.ba.residuals import warp_residuals
+    from banet_tpu.config import SolverConfig
+    from banet_tpu.data.synthetic import make_two_view_problem
+    from banet_tpu.geometry.jacobians import camera_jacobian
+    from banet_tpu.geometry.se3 import se3_update
+    from banet_tpu.models.damping import DampingNet
+    from banet_tpu.ops.grad2d import append_spatial_gradient
+    from banet_tpu.ops.normal_eq import build_normal_equations
+    from banet_tpu.ops.pallas_damping import damping_pallas
+    from banet_tpu.ops.solve import (apply_lm_damping,
+                                     cholesky_solve_unrolled, damped_solve)
+
+    N, C, H, W = 1024, 128, 128, 160
+    cfg = SolverConfig()
+    dnet = DampingNet(C)
+    dvars = dnet.init(jax.random.PRNGKey(0), jnp.zeros((1, C)))
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    def make(seed):
+        prob = make_two_view_problem(jax.random.PRNGKey(seed), batch=1,
+                                     height=H, width=W, channels=C,
+                                     num_points=N)
+        tgt = append_spatial_gradient(prob["tgt_feats"])
+        return (prob["ref_feats"], tgt, prob["rays"], prob["depth"],
+                jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
+                jnp.zeros((1, 3)), prob["intr"])
+
+    def solve_lu(AtA, Atb, lam):
+        # Pre-Cholesky path: probe + LU (what round 1 shipped).
+        A = apply_lm_damping(AtA, lam, cfg.diag_floor, True)
+        b = Atb[..., None]
+        probe = jnp.linalg.solve(jax.lax.stop_gradient(A),
+                                 jax.lax.stop_gradient(b))
+        ok = jnp.all(jnp.isfinite(probe), axis=(-2, -1), keepdims=True)
+        A_safe = jnp.where(ok, A, jnp.eye(6))
+        return jnp.where(ok, jnp.linalg.solve(A_safe, b),
+                         jnp.zeros_like(b))[..., 0]
+
+    def solve_chol(AtA, Atb, lam):
+        A = apply_lm_damping(AtA, lam, cfg.diag_floor, True)
+        return cholesky_solve_unrolled(A, Atb)
+
+    def lam_mlp(avg_r):
+        return dnet.apply(dvars, avg_r)
+
+    def lam_pallas(avg_r):
+        return damping_pallas(dvars["params"], avg_r,
+                              interpret=not on_tpu)
+
+    def variant(use_mlp, solver, reject):
+        """Returns fn(k, *args) running k serial iterations."""
+
+        def run(k, ref, tgt, rays, depth, R0, t0, intr):
+            wr0 = warp_residuals(ref, tgt, rays, depth, R0, t0, intr)
+
+            def body(_, carry):
+                R, t, wr = carry
+                avg_r = wr.avg_abs_residual(False)
+                lam = (lam_mlp(avg_r) if use_mlp == "mlp" else
+                       lam_pallas(avg_r) if use_mlp == "pallas" else
+                       jnp.full((1,), 1e-3))
+                J = camera_jacobian(wr.x, wr.y, wr.z, intr.fx, intr.fy)
+                AtA, Atb = build_normal_equations(J, wr.G, wr.residual)
+                if solver == "lu":
+                    delta = -solve_lu(AtA, Atb, lam)
+                elif solver == "chol":
+                    delta = -solve_chol(AtA, Atb, lam)
+                else:
+                    delta = -1e-4 * Atb
+                R2, t2 = se3_update(R, t, delta)
+                wr2 = warp_residuals(ref, tgt, rays, depth, R2, t2, intr)
+                if reject:
+                    res_b = jnp.mean(wr.avg_abs_residual(False), axis=-1)
+                    res_a = jnp.mean(wr2.avg_abs_residual(False), axis=-1)
+                    take = res_a < res_b
+                    R2 = jnp.where(take[:, None, None], R2, R)
+                    t2 = jnp.where(take[:, None], t2, t)
+                    wr2 = jax.tree.map(
+                        lambda n, o: jnp.where(
+                            take.reshape((1,) * n.ndim), n, o), wr2, wr)
+                return (R2, t2, wr2)
+
+            R, t, _ = jax.lax.fori_loop(0, k, body, (R0, t0, wr0))
+            return jnp.sum(R) + jnp.sum(t)
+
+        return run
+
+    def warp_only(k, ref, tgt, rays, depth, R0, t0, intr):
+        def body(_, carry):
+            t, acc = carry
+            wr = warp_residuals(ref, tgt, rays, depth, R0, t, intr)
+            s = jnp.sum(wr.residual)
+            return (t + 1e-12 * s, acc + s)
+
+        _, acc = jax.lax.fori_loop(0, k, body, (t0, 0.0))
+        return acc
+
+    def mlp_only_factory(which):
+        def mlp_only(k, ref, tgt, rays, depth, R0, t0, intr):
+            avg0 = jnp.mean(jnp.abs(ref), axis=1)
+
+            def body(_, a):
+                lam = lam_mlp(a) if which == "mlp" else lam_pallas(a)
+                return a + 1e-12 * lam[:, None]
+
+            return jnp.sum(jax.lax.fori_loop(0, k, body, avg0))
+        return mlp_only
+
+    def solve_only_factory(which):
+        def solve_only(k, ref, tgt, rays, depth, R0, t0, intr):
+            A0 = jnp.eye(6)[None] * 4.0
+            b0 = jnp.ones((1, 6))
+
+            def body(_, carry):
+                A, b = carry
+                x = (solve_lu(A, b, jnp.full((1,), 1e-3)) if which == "lu"
+                     else solve_chol(A, b, jnp.full((1,), 1e-3)))
+                return (A, b + 1e-9 * x)
+
+            _, b = jax.lax.fori_loop(0, k, body, (A0, b0))
+            return jnp.sum(b)
+        return solve_only
+
+    variants = [
+        ("iter_full_lu_mlp", variant("mlp", "lu", True)),
+        ("iter_full_chol_mlp", variant("mlp", "chol", True)),
+        ("iter_full_chol_pallasmlp", variant("pallas", "chol", True)),
+        ("iter_chol_nomlp", variant("none", "chol", True)),
+        ("iter_nosolve_nomlp", variant("none", "none", True)),
+        ("iter_noreject_chol_mlp", variant("mlp", "chol", False)),
+        ("warp_sample_only", warp_only),
+        ("mlp_only_flax", mlp_only_factory("mlp")),
+        ("mlp_only_pallas", mlp_only_factory("pallas")),
+        ("solve_only_lu", solve_only_factory("lu")),
+        ("solve_only_chol", solve_only_factory("chol")),
+    ]
+    k1, k2 = 4, 28
+    for name, fn in variants:
+        jfn = jax.jit(fn)
+
+        def timed(k):
+            # Unique inputs per call (the relay dedupes identical
+            # queued executions); a tiny checksum fetch drains the
+            # queue so arg construction stays outside the timed span.
+            args = make(97)
+            _ = np.asarray(jfn(jnp.int32(k), *args))  # compile + warm
+            ts = []
+            for seed in range(1, 5):
+                args = make(1000 * k + seed)
+                _ = np.asarray(jnp.sum(args[0]))
+                t0 = time.perf_counter()
+                out = jfn(jnp.int32(k), *args)
+                _ = np.asarray(out)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_a, t_b = timed(k1), timed(k2)
+        per_iter = max((t_b - t_a) / (k2 - k1), 1e-9)
+        print(json.dumps({"component": name,
+                          "per_iter_ms": round(per_iter * 1e3, 4),
+                          "t_k4_ms": round(t_a * 1e3, 3),
+                          "t_k28_ms": round(t_b * 1e3, 3)}))
+
+
 BENCHES = {
     "sampler": bench_sampler,
+    "iter_slope": bench_iter_slope,
     "gn_breakdown": bench_gn_breakdown,
     "sampler_block": bench_sampler_block,
     "normal_eq": bench_normal_eq,

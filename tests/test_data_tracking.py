@@ -16,6 +16,27 @@ class TestPoints:
         mag = sobel_magnitude(img)
         np.testing.assert_allclose(mag[4:8, 4:12], 8.0, atol=1e-4)
 
+    def test_sobel_on_vertical_ramp(self):
+        # Vertical ramp: the y-kernel's full weight (8 * slope) must
+        # show up — a regression for the bug where the +/-2 center-
+        # column y taps were skipped (halving vertical response).
+        img = np.tile(np.arange(16.0)[:, None, None], (1, 12, 1))
+        mag = sobel_magnitude(img)
+        np.testing.assert_allclose(mag[4:12, 4:8], 8.0, atol=1e-4)
+
+    def test_sobel_matches_scipy(self):
+        from scipy import ndimage
+
+        rng = np.random.default_rng(3)
+        img = rng.random((24, 30)).astype(np.float32) * 100.0
+        gx = ndimage.sobel(img, axis=1, mode="nearest")
+        gy = ndimage.sobel(img, axis=0, mode="nearest")
+        expected = np.sqrt(gx ** 2 + gy ** 2)
+        got = sobel_magnitude(img)
+        # Interior must match exactly; borders differ only by pad mode
+        # choice (ours is edge-replicate too, so they match everywhere).
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+
     def test_select_points_prefers_texture(self):
         rng = np.random.default_rng(0)
         img = np.zeros((32, 48, 3), np.float32)

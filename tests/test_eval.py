@@ -37,6 +37,31 @@ class TestAssociate:
         m = associate(a, b, max_difference=0.05)
         assert len(m) == 1 and m[0][1] == 0
 
+    def test_matches_brute_force(self):
+        # The bisect-based enumeration must reproduce the O(A*B)
+        # reference semantics exactly, including greedy tie order, on
+        # unsorted stamps with offsets.
+        rng = np.random.default_rng(7)
+        a = list(rng.uniform(0, 10, 200))
+        b = list(rng.uniform(0, 10, 230))
+        for offset in (0.0, 0.13):
+            cands = []
+            for ia, ta in enumerate(a):
+                for ib, tb in enumerate(b):
+                    d = abs(ta - (tb + offset))
+                    if d < 0.05:
+                        cands.append((d, ia, ib))
+            cands.sort()
+            used_a, used_b, expected = set(), set(), []
+            for d, ia, ib in cands:
+                if ia not in used_a and ib not in used_b:
+                    used_a.add(ia)
+                    used_b.add(ib)
+                    expected.append((ia, ib))
+            expected.sort()
+            assert associate(a, b, offset=offset,
+                             max_difference=0.05) == expected
+
 
 class TestHornATE:
     def test_alignment_exact_under_rigid_transform(self):

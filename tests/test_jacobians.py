@@ -79,6 +79,42 @@ def test_backproject_conventions():
     np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-6)
 
 
+def test_default_ray_convention_matches_sensor_z_depth():
+    """Every depth source in this framework (TUM/ScanNet PNGs, the
+    synthetic renderer) is plain z-depth; the default config must
+    interpret it that way.  ray * depth has to reconstruct the true 3D
+    point and the warp must equal the direct pinhole projection of
+    R X + t — under the normalized-ray convention this fails with a
+    corner-growing bias (ADVICE r1, high)."""
+    from banet_tpu.config import default_config
+
+    cfg = default_config()
+    assert cfg.geometry.normalized_rays is False
+
+    intr = Intrinsics(jnp.array([535.4]), jnp.array([539.2]),
+                      jnp.array([320.1]), jnp.array([247.6]))
+    # Points including image corners, where the bias was largest.
+    pts = jnp.array([[[0.0, 0.0], [639.0, 479.0], [320.0, 240.0],
+                      [600.0, 30.0]]])
+    z_depth = jnp.array([[1.5, 2.0, 3.0, 2.5]])
+    R = se3.exp_so3(jnp.array([[0.02, -0.03, 0.01]]))
+    t = jnp.array([[0.05, -0.02, 0.1]])
+
+    rays = backproject(pts, intr, normalized=cfg.geometry.normalized_rays)
+    X = rays * z_depth[..., None]  # must be the true 3D point
+    np.testing.assert_allclose(np.asarray(X[..., 2]),
+                               np.asarray(z_depth), rtol=1e-6)
+    Xw = jnp.einsum("bij,bnj->bni", R, X) + t[:, None, :]
+    u_direct = Xw[..., 0] / Xw[..., 2] * intr.fx + intr.cx
+    v_direct = Xw[..., 1] / Xw[..., 2] * intr.fy + intr.cy
+
+    px, py, *_ = warp_points(rays, z_depth, R, t, intr)
+    np.testing.assert_allclose(np.asarray(px), np.asarray(u_direct),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(py), np.asarray(v_direct),
+                               rtol=1e-5)
+
+
 def test_crop_remap_reference_constants():
     """The generic remap must reproduce the reference magic constants
     (bundlenet.py:286-302): src (240,320) -> dst (256,320), border 4."""

@@ -92,6 +92,98 @@ def test_window_ba_reduces_error():
     assert float(res_hist[-1].mean()) < float(res_hist[0].mean())
 
 
+def test_frame_mask_ignores_padded_frames():
+    # Padding a short window by repeating the last frame (the odometry
+    # runner's static-shape trick) must NOT change the solution when the
+    # padded frames are masked out: the masked F=4 solve has to equal
+    # the unpadded F=2 solve exactly.
+    prob = planar_window_problem(jax.random.PRNGKey(3), F=2, motion=0.015)
+    Rs2, ts2, W2, _ = solve_window_ba(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], CFG,
+        num_iters=4, lam=1e-3, lam_depth=1.0)
+
+    tgt_padded = jnp.concatenate(
+        [prob["tgt_fgs"], prob["tgt_fgs"][-1:], prob["tgt_fgs"][-1:]])
+    mask = jnp.array([1.0, 1.0, 0.0, 0.0])
+    Rs4, ts4, W4, _ = solve_window_ba(
+        prob["ref_feats"], tgt_padded, prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], CFG,
+        num_iters=4, lam=1e-3, lam_depth=1.0, frame_mask=mask)
+
+    np.testing.assert_allclose(np.asarray(Rs4[:2]), np.asarray(Rs2),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ts4[:2]), np.asarray(ts2),
+                               atol=1e-6)
+    # f32 reduction-order noise between the F=2 and F=4 einsum trees.
+    np.testing.assert_allclose(np.asarray(W4), np.asarray(W2), atol=1e-5)
+    # Masked frames' poses stay at the identity init.
+    np.testing.assert_allclose(np.asarray(Rs4[2:]),
+                               np.broadcast_to(np.eye(3), (2, 3, 3)),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ts4[2:]), 0.0, atol=1e-6)
+
+    # Unmasked padding is NOT equivalent (the double-count the mask
+    # exists to prevent) — guard against the mask silently becoming a
+    # no-op.
+    Rs_np, ts_np, W_np, _ = solve_window_ba(
+        prob["ref_feats"], tgt_padded, prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], CFG,
+        num_iters=4, lam=1e-3, lam_depth=1.0)
+    assert float(jnp.abs(W_np - W2).max()) > 1e-4
+
+
+def test_frame_mask_with_learned_damping():
+    prob = planar_window_problem(jax.random.PRNGKey(4), F=2, motion=0.01)
+
+    def damping_fn(avg_r):
+        return jnp.linalg.norm(avg_r, axis=-1) ** 2
+
+    Rs2, ts2, W2, _ = solve_window_ba(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], CFG,
+        num_iters=3, lam=1e-2, lam_depth=10.0, damping_fn=damping_fn)
+    tgt_padded = jnp.concatenate([prob["tgt_fgs"], prob["tgt_fgs"][:1]])
+    Rs3, ts3, W3, _ = solve_window_ba(
+        prob["ref_feats"], tgt_padded, prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], CFG,
+        num_iters=3, lam=1e-2, lam_depth=10.0, damping_fn=damping_fn,
+        frame_mask=jnp.array([1.0, 1.0, 0.0]))
+    # The lambda path squares/sums residual stats, amplifying f32
+    # reduction-order noise; the unmasked double-count this guards
+    # against is orders of magnitude larger.
+    np.testing.assert_allclose(np.asarray(Rs3[:2]), np.asarray(Rs2),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(W3), np.asarray(W2), atol=1e-4)
+
+
+@pytest.mark.multichip
+def test_sharded_frame_mask_matches_single_device():
+    F = 8
+    prob = planar_window_problem(jax.random.PRNGKey(5), F=F, motion=0.01)
+    K = prob["basis"].shape[-1]
+    Rs0 = jnp.broadcast_to(jnp.eye(3), (F, 3, 3))
+    ts0 = jnp.zeros((F, 3))
+    W0 = jnp.zeros((K,))
+    mask = jnp.array([1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+
+    def damping_fn(avg_r):
+        return jnp.linalg.norm(avg_r, axis=-1) ** 2
+
+    R1, t1, W1, _ = window_ba_step(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], Rs0, ts0, W0, prob["intr"],
+        1e-2, CFG, 10.0, damping_fn, frame_mask=mask)
+    mesh = make_mesh(data=1, frame=8)
+    R2, t2, W2, _ = sharded_window_ba_step(
+        mesh, prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], Rs0, ts0, W0, prob["intr"],
+        1e-2, CFG, 10.0, damping_fn, frame_mask=mask)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), atol=1e-4)
+
+
 @pytest.mark.multichip
 def test_sharded_matches_single_device():
     F = 8
