@@ -53,15 +53,18 @@ def bundle_gn_step(
         R: jnp.ndarray, t: jnp.ndarray, W: jnp.ndarray,
         intr: Intrinsics, damping_fn: DampingFn, cfg: SolverConfig,
         renormalize_residual: bool = False,
+        footprint_hw=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, BundleStepAux]:
     """One damped GN step over (pose, basis coefficients).
 
-    Shapes: ref_feats (B, N, C); tgt_feats_grad (B, H, W, 3C); rays
-    (B, N, 3); init_depth (B, N); basis (B, N, K); R (B, 3, 3); t (B, 3);
-    W (B, K).  Returns updated (R, t, W).
+    Shapes: ref_feats (B, N, C); tgt_feats_grad (B, H, W, 3C) — or a
+    footprint map with ``footprint_hw=(H, W)``; rays (B, N, 3);
+    init_depth (B, N); basis (B, N, K); R (B, 3, 3); t (B, 3); W (B, K).
+    Returns updated (R, t, W).
     """
     depth = init_depth + jnp.einsum("bnk,bk->bn", basis, W)
-    wr = warp_residuals(ref_feats, tgt_feats_grad, rays, depth, R, t, intr)
+    wr = warp_residuals(ref_feats, tgt_feats_grad, rays, depth, R, t,
+                        intr, footprint=footprint_hw)
     avg_r = wr.avg_abs_residual(renormalize_residual)
     lam = damping_fn(avg_r) * cfg.bundle_damping_base
 
@@ -94,6 +97,7 @@ def solve_bundle_pyramid(
         damping_fns: Sequence[DampingFn],
         cfg: SolverConfig,
         iters_per_level: Sequence[int] = (1, 1),
+        footprint_hws=None,
 ):
     """Coarse-to-fine joint solve (reference runs levels 2..3, one
     iteration each, bundlenet.py:376-393).
@@ -111,7 +115,9 @@ def solve_bundle_pyramid(
             R, t, W, _ = bundle_gn_step(
                 ref_feats_levels[lvl], tgt_feats_grad_levels[lvl], rays,
                 init_depth, basis, R, t, W, intr_levels[lvl],
-                damping_fns[lvl], cfg)
+                damping_fns[lvl], cfg,
+                footprint_hw=None if footprint_hws is None
+                else footprint_hws[lvl])
         per_level.append((R, t, W))
     return R, t, W, per_level
 

@@ -60,13 +60,17 @@ def pose_gn_step(
         R: jnp.ndarray, t: jnp.ndarray, intr: Intrinsics,
         damping_fn: DampingFn, cfg: SolverConfig,
         renormalize_residual: bool = True,
+        footprint_hw=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, PoseStepAux]:
     """One damped GN step over the 6-dof pose.
 
-    Shapes: ref_feats (B, N, C); tgt_feats_grad (B, H, W, 3C); rays
-    (B, N, 3); depth (B, N); R (B, 3, 3); t (B, 3).
+    Shapes: ref_feats (B, N, C); tgt_feats_grad (B, H, W, 3C) — or the
+    level's footprint map with ``footprint_hw=(H, W)`` (one-gather
+    sampler, ops/resample.py); rays (B, N, 3); depth (B, N);
+    R (B, 3, 3); t (B, 3).
     """
-    wr = warp_residuals(ref_feats, tgt_feats_grad, rays, depth, R, t, intr)
+    wr = warp_residuals(ref_feats, tgt_feats_grad, rays, depth, R, t,
+                        intr, footprint=footprint_hw)
     avg_r = wr.avg_abs_residual(renormalize_residual)
     res_before = jnp.mean(avg_r, axis=-1)
     lam = damping_fn(avg_r)
@@ -78,7 +82,8 @@ def pose_gn_step(
 
     if cfg.reject_bad_steps:
         wr_after = warp_residuals(ref_feats, tgt_feats_grad, rays, depth,
-                                  R_prop, t_prop, intr)
+                                  R_prop, t_prop, intr,
+                                  footprint=footprint_hw)
         res_after = _scalar_residual(wr_after, renormalize_residual)
         accept = (res_after < cfg.residual_ratio * res_before)
     else:
@@ -107,6 +112,7 @@ def solve_pose_level(
         R0: jnp.ndarray, t0: jnp.ndarray, intr: Intrinsics,
         damping_fn: DampingFn, num_iters: int, cfg: SolverConfig,
         renormalize_residual: bool = True,
+        footprint_hw=None,
 ):
     """Fixed-trip scan of GN steps with early-termination masking.
 
@@ -142,7 +148,8 @@ def solve_pose_level(
         R, t, wr, done, last_aux = carry
         R_prop, t_prop, delta, res_before, lam = gn_from_warp(wr, R, t)
         wr_prop = warp_residuals(ref_feats, tgt_feats_grad, rays, depth,
-                                 R_prop, t_prop, intr)
+                                 R_prop, t_prop, intr,
+                                 footprint=footprint_hw)
         if cfg.reject_bad_steps:
             res_after = _scalar_residual(wr_prop, renormalize_residual)
             accept = res_after < cfg.residual_ratio * res_before
@@ -180,7 +187,7 @@ def solve_pose_level(
 
     B = R0.shape[0]
     wr0 = warp_residuals(ref_feats, tgt_feats_grad, rays, depth, R0, t0,
-                         intr)
+                         intr, footprint=footprint_hw)
     aux0 = PoseStepAux(*(jnp.zeros((B,), R0.dtype) for _ in range(7)))
     done0 = jnp.zeros((B,), dtype=bool)
     carry0 = (R0, t0, wr0, done0, aux0)
@@ -217,6 +224,7 @@ def solve_pose_pyramid(
         cfg: SolverConfig,
         renormalize_residual: bool = True,
         return_per_level: bool = False,
+        footprint_hws=None,
 ):
     """Coarse-to-fine pose solve over a feature pyramid.
 
@@ -236,7 +244,9 @@ def solve_pose_pyramid(
         R, t, aux = solve_pose_level(
             ref_feats_levels[lvl], tgt_feats_grad_levels[lvl], rays, depth,
             R, t, intr_levels[lvl], damping_fns[lvl], iters[lvl], cfg,
-            renormalize_residual)
+            renormalize_residual,
+            footprint_hw=None if footprint_hws is None
+            else footprint_hws[lvl])
         per_level.append((R, t))
     if return_per_level:
         return R, t, aux, per_level

@@ -21,12 +21,14 @@ delta = -(AtA)^{-1} Atb.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
 from banet_tpu.geometry.camera import Intrinsics, warp_points
-from banet_tpu.ops.resample import bilinear_sample_with_mask
+from banet_tpu.ops.resample import (bilinear_sample_with_mask,
+                                    sample_footprint,
+                                    sample_with_gradient)
 
 
 class WarpResult(NamedTuple):
@@ -61,23 +63,40 @@ class WarpResult(NamedTuple):
 
 def warp_residuals(ref_feats: jnp.ndarray, tgt_feats_grad: jnp.ndarray,
                    rays: jnp.ndarray, depth: jnp.ndarray, R: jnp.ndarray,
-                   t: jnp.ndarray, intr: Intrinsics) -> WarpResult:
+                   t: jnp.ndarray, intr: Intrinsics,
+                   footprint: Optional[Tuple[int, int]] = None
+                   ) -> WarpResult:
     """Warp points and assemble masked residuals + sampled gradients.
 
     Args:
       ref_feats: (B, N, C) reference-view features at the sampled points.
-      tgt_feats_grad: (B, H, W, 3C) target [features, gradx, grady].
+      tgt_feats_grad: (B, H, W, 3C) target [features, gradx, grady] —
+        or, when ``footprint`` is given, the (B, (H+2)(W+2), 4C)
+        footprint map from ``ops.resample.make_footprint_map``.
       rays: (B, N, 3) reference-pixel rays (either convention).
       depth: (B, N) per-point depth (distance along ray if normalized).
       R, t: (B, 3, 3), (B, 3) current pose estimate.
       intr: level-scaled intrinsics.
+      footprint: sampler selector — None: 4-tap sample of the 3C
+        grad-map stack (reference grad_fixed semantics); (H, W): ONE
+        row gather from the level's footprint map; "direct": 4-tap
+        sample of the RAW C-channel map with gradients from the same
+        taps (no prebuilt stack — the fastest end-to-end mode).  The
+        footprint/direct gradients are the exact derivative of the
+        bilinear interpolant (see ops/resample.py).
     """
     C = ref_feats.shape[-1]
     px, py, x, y, z, Rp = warp_points(rays, depth, R, t, intr)
-    sampled, mask = bilinear_sample_with_mask(tgt_feats_grad, px, py)
-    f = sampled[..., :C]
-    gx = sampled[..., C:2 * C]
-    gy = sampled[..., 2 * C:3 * C]
+    if footprint == "direct":
+        f, gx, gy, mask = sample_with_gradient(tgt_feats_grad, px, py)
+    elif footprint is not None:
+        f, gx, gy, mask = sample_footprint(tgt_feats_grad, footprint[0],
+                                           footprint[1], px, py)
+    else:
+        sampled, mask = bilinear_sample_with_mask(tgt_feats_grad, px, py)
+        f = sampled[..., :C]
+        gx = sampled[..., C:2 * C]
+        gy = sampled[..., 2 * C:3 * C]
     m1 = mask[..., None]
     residual = (f - ref_feats) * m1
     G = jnp.stack([gx, gy], axis=-1) * m1[..., None]

@@ -60,6 +60,20 @@ class SolverConfig:
     dynamic_early_exit: bool = False
     # Solve dtype for the (6+K)x(6+K) normal system.
     solve_dtype: str = "float32"
+    # Target-map sampling strategy for the GN solvers:
+    #   "gradmap"  — 4-tap bilinear sample of [f, df/dx, df/dy] stacks
+    #     (3C channels, central-difference maps; reference grad_fixed
+    #     semantics, bundlenet.py:92-100) — 3x the gather traffic and a
+    #     per-frame 3C-map materialization;
+    #   "footprint" — ONE row gather from a per-pixel 2x2-footprint map
+    #     (4C channels), gradients from the same taps; the build moves
+    #     4x the map per frame (~1.7 ms at 256x320 on v5e);
+    #   "direct"   — 4-tap sample of the RAW C-channel pyramid with
+    #     gradients from the same taps: no prebuilt stack at all, and
+    #     per-iteration bytes identical to "footprint" (4 taps x C).
+    #     Fastest end-to-end; gradients are the exact derivative of the
+    #     bilinear interpolant the GN objective actually minimizes.
+    sampler: str = "direct"
 
 
 @dataclasses.dataclass(frozen=True)

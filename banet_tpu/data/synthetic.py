@@ -105,6 +105,222 @@ def make_two_view_problem(key, batch: int = 1, height: int = 64,
     return out
 
 
+def _analytic_texture(key, num_waves: int = 48, max_freq: float = 2.0,
+                      channels: int = 3):
+    """Sum-of-sinusoids texture evaluable at ARBITRARY continuous world
+    coordinates (no grid, no resampling error): returns
+    ``tex(x, y) -> (..., channels)`` for x, y in meters."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    freqs = max_freq * jax.random.normal(k1, (num_waves, 2))
+    phases = 2 * jnp.pi * jax.random.uniform(k2, (num_waves, channels))
+    amps = jax.random.normal(k3, (num_waves, channels)) / jnp.sqrt(
+        num_waves)
+
+    def tex(x, y):
+        carrier = (freqs[:, 0] * x[..., None] +
+                   freqs[:, 1] * y[..., None])  # (..., num_waves)
+        waves = jnp.sin(2 * jnp.pi * carrier[..., None] +
+                        phases)                 # (..., num_waves, ch)
+        return jnp.sum(amps * waves, axis=-2)
+
+    return tex
+
+
+def make_plane_scene(key, num_planes: int = 3,
+                     depth_range: Tuple[float, float] = (2.0, 5.0)):
+    """A world of ``num_planes`` textured fronto-parallel planes.
+
+    Returns (render_fn, plane_depths): ``render_fn(R_cw, t_cw, intr,
+    height, width) -> (rgb (H, W, 3) in [0, 255], depth (H, W))``
+    renders any camera pose (cam-from-world) with exact closed-form
+    ray-plane intersection, z-buffered — coherent multi-view geometry
+    with real parallax and occlusion boundaries, unlike the
+    inverse-warp pair renderer.  Infinitely sharp and consistent: GT
+    depth is exact z-depth, GT poses arbitrary.
+    """
+    ks = jax.random.split(key, num_planes + 1)
+    depths = jnp.sort(jax.random.uniform(
+        ks[0], (num_planes,), minval=depth_range[0],
+        maxval=depth_range[1]))
+    texs = [_analytic_texture(ks[1 + j], max_freq=1.5 + 0.5 * j)
+            for j in range(num_planes)]
+    # Nearer planes occupy a random off-center disk (so farther planes
+    # stay visible around them); the farthest plane is infinite.
+    kd = jax.random.split(ks[0], num_planes)
+    centers = jax.random.uniform(kd[0], (num_planes, 2), minval=-1.0,
+                                 maxval=1.0)
+    radii = jax.random.uniform(kd[1 % num_planes], (num_planes,),
+                               minval=0.6, maxval=1.4)
+
+    def render(R_cw, t_cw, intr, height: int, width: int):
+        yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                              jnp.arange(width, dtype=jnp.float32),
+                              indexing="ij")
+        fx = intr.fx.reshape(())
+        fy = intr.fy.reshape(())
+        cx = intr.cx.reshape(())
+        cy = intr.cy.reshape(())
+        rays = jnp.stack([(xx - cx) / fx, (yy - cy) / fy,
+                          jnp.ones_like(xx)], axis=-1)  # (H, W, 3)
+        Rt = R_cw.T
+        rw = rays @ Rt.T                       # ray dirs in world
+        ow = -Rt @ t_cw                        # camera center in world
+
+        best_z = jnp.full((height, width), jnp.inf)
+        rgb = jnp.zeros((height, width, 3))
+        for j in range(len(texs)):
+            denom = rw[..., 2]
+            denom = jnp.where(jnp.abs(denom) < 1e-6,
+                              jnp.sign(denom) * 1e-6 + 1e-12, denom)
+            z = (depths[j] - ow[2]) / denom    # depth along CAMERA ray
+            xw = ow[0] + z * rw[..., 0]
+            yw = ow[1] + z * rw[..., 1]
+            inside = (z > 0.1)
+            if j < len(texs) - 1:
+                d2 = ((xw - centers[j, 0]) ** 2 +
+                      (yw - centers[j, 1]) ** 2)
+                inside = inside & (d2 < radii[j] ** 2)
+            hit = inside & (z < best_z)
+            col = 127.5 + 100.0 * jnp.tanh(texs[j](xw, yw))
+            rgb = jnp.where(hit[..., None], col, rgb)
+            best_z = jnp.where(hit, z, best_z)
+        depth = jnp.where(jnp.isfinite(best_z), best_z, 0.0)
+        return rgb, depth
+
+    return render, depths
+
+
+def smooth_trajectory(key, num_frames: int, step_rot: float = 0.01,
+                      step_trans: float = 0.02):
+    """Smooth random camera path: poses (cam-from-world) as
+    (Rs (F, 3, 3), ts (F, 3)), starting at the identity, with a
+    low-pass-filtered random-walk velocity."""
+    k1, k2 = jax.random.split(key)
+    w_steps = step_rot * jax.random.normal(k1, (num_frames, 3))
+    t_steps = step_trans * jax.random.normal(k2, (num_frames, 3))
+    # Smooth the per-frame increments (momentum 0.7).
+    def smooth(steps):
+        def body(carry, s):
+            v = 0.7 * carry + 0.3 * s
+            return v, v
+        _, out = jax.lax.scan(body, jnp.zeros(3), steps)
+        return out
+    w_s = smooth(w_steps)
+    t_s = smooth(t_steps)
+    Rs, ts = [jnp.eye(3)], [jnp.zeros(3)]
+    for i in range(1, num_frames):
+        dR = exp_so3(w_s[i][None])[0]
+        Rs.append(dR @ Rs[-1])
+        ts.append(dR @ ts[-1] + t_s[i])
+    return jnp.stack(Rs), jnp.stack(ts)
+
+
+def write_rendered_sequence(seq_dir: str, num_frames: int = 30,
+                            size: Tuple[int, int] = (128, 160),
+                            seed: int = 0, num_planes: int = 3,
+                            step_rot: float = 0.01,
+                            step_trans: float = 0.02,
+                            fps: float = 30.0):
+    """Render a COHERENT TUM-format sequence from the multi-plane world
+    (geometrically consistent frames a tracker can actually track, with
+    exact GT depth and trajectory) — the trajectory-level accuracy
+    fixture this zero-egress environment substitutes for TUM data.
+    Returns the loaded data.tum.TumSequence.
+    """
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from banet_tpu.data.tum import DEPTH_SCALE, TumSequence
+    from banet_tpu.geometry.se3 import rotation_to_quaternion
+
+    H, W = size
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    intr = Intrinsics(jnp.array([0.9 * W]), jnp.array([0.9 * W]),
+                      jnp.array([W / 2.0]), jnp.array([H / 2.0]))
+    render, _ = make_plane_scene(k1, num_planes=num_planes)
+    Rs, ts = smooth_trajectory(k2, num_frames, step_rot, step_trans)
+
+    os.makedirs(os.path.join(seq_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "depth"), exist_ok=True)
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    render_j = jax.jit(lambda R, t: render(R, t, intr, H, W))
+    for i in range(num_frames):
+        tstamp = 1000.0 + i / fps
+        rgb, depth = render_j(Rs[i], ts[i])
+        img = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)
+        d16 = np.clip(np.asarray(depth) * DEPTH_SCALE, 0,
+                      65535).astype(np.uint16)
+        rp = f"rgb/{tstamp:.6f}.png"
+        dp = f"depth/{tstamp:.6f}.png"
+        Image.fromarray(img).save(os.path.join(seq_dir, rp))
+        Image.fromarray(d16).save(os.path.join(seq_dir, dp))
+        rgb_lines.append(f"{tstamp:.6f} {rp}")
+        depth_lines.append(f"{tstamp:.6f} {dp}")
+        # TUM GT is world-from-camera: center = -R^T t, orientation R^T.
+        Rwc = np.asarray(Rs[i]).T
+        pos = -Rwc @ np.asarray(ts[i])
+        q = np.asarray(rotation_to_quaternion(jnp.asarray(Rwc)[None]))[0]
+        gt_lines.append(
+            f"{tstamp:.6f} {pos[0]:.6f} {pos[1]:.6f} {pos[2]:.6f} "
+            f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}")
+    for name, lines in [("rgb.txt", rgb_lines),
+                        ("depth.txt", depth_lines),
+                        ("groundtruth.txt", gt_lines)]:
+        with open(os.path.join(seq_dir, name), "w") as f:
+            f.write("# rendered plane-scene sequence\n" +
+                    "\n".join(lines) + "\n")
+    return TumSequence(seq_dir)
+
+
+def make_plane_scene_pair(key, batch: int = 1, height: int = 128,
+                          width: int = 160, num_planes: int = 3,
+                          rot_magnitude: float = 0.03,
+                          trans_magnitude: float = 0.05,
+                          photometric_gain: float = 0.0,
+                          pixel_noise: float = 0.0) -> Dict:
+    """Training pair from the multi-plane world: real parallax,
+    occlusion boundaries, exact GT depth/pose — the richer curriculum
+    the inverse-warp ``make_synthetic_image_pair`` cannot provide.
+    Optional photometric augmentation (per-image gain jitter + pixel
+    noise) on the TARGET image only, so the model learns robustness to
+    the violation of brightness constancy.
+    """
+    ks = jax.random.split(key, batch * 2 + 2)
+    intr = Intrinsics(
+        fx=jnp.full((batch,), 0.9 * width),
+        fy=jnp.full((batch,), 0.9 * width),
+        cx=jnp.full((batch,), width / 2.0),
+        cy=jnp.full((batch,), height / 2.0),
+    )
+    img1s, img2s, depths, Rls, tls = [], [], [], [], []
+    for b in range(batch):
+        kb = jax.random.split(ks[b], 5)
+        render, _ = make_plane_scene(kb[0], num_planes=num_planes)
+        intr_b = Intrinsics(intr.fx[b:b + 1], intr.fy[b:b + 1],
+                            intr.cx[b:b + 1], intr.cy[b:b + 1])
+        R_rel = exp_so3(rot_magnitude * jax.random.normal(kb[1], (3,))
+                        [None])[0]
+        t_rel = trans_magnitude * jax.random.normal(kb[2], (3,))
+        rgb1, d1 = render(jnp.eye(3), jnp.zeros(3), intr_b, height,
+                          width)
+        rgb2, _d2 = render(R_rel, t_rel, intr_b, height, width)
+        # Unconditional (jit-friendly with traced magnitudes; 0 = no-op).
+        g = 1.0 + photometric_gain * jax.random.normal(kb[3], ())
+        rgb2 = jnp.clip(rgb2 * g, 0.0, 255.0)
+        rgb2 = rgb2 + pixel_noise * jax.random.normal(kb[4], rgb2.shape)
+        img1s.append(rgb1)
+        img2s.append(rgb2)
+        depths.append(d1)
+        Rls.append(R_rel)
+        tls.append(t_rel)
+    return dict(image1=jnp.stack(img1s), image2=jnp.stack(img2s),
+                depth=jnp.stack(depths), intr=intr,
+                R_true=jnp.stack(Rls), t_true=jnp.stack(tls))
+
+
 def make_synthetic_image_pair(key, batch: int = 1, height: int = 256,
                               width: int = 320,
                               rot_magnitude: float = 0.03,

@@ -113,6 +113,61 @@ def se3_update(R: jnp.ndarray, t: jnp.ndarray, delta: jnp.ndarray):
     return Rn, tn
 
 
+def log_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle vector (inverse of ``exp_so3``).
+
+    Computed through the robust 4-branch quaternion, so it is stable
+    over the whole rotation group including angles near pi (where the
+    classic trace formula's sin(theta) denominator vanishes).  Returns
+    w with ||w|| in [0, pi]."""
+    q = rotation_to_quaternion(R)  # (w, x, y, z), w >= 0
+    v = q[..., 1:]
+    nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    w = q[..., 0:1]
+    # theta = 2 atan2(||v||, w); w >= 0 so theta in [0, pi].
+    # factor = theta / ||v||, with the Taylor limit 2/w as ||v|| -> 0.
+    small = nv < 1e-6
+    factor = jnp.where(
+        small, 2.0 / jnp.maximum(w, 1e-12),
+        2.0 * jnp.arctan2(nv, w) / jnp.where(small, 1.0, nv))
+    return factor * v
+
+
+def left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of the SO(3) left Jacobian V (Taylor-guarded).
+
+    V^{-1} = I - w^/2 + c w^2 with
+    c = 1/theta^2 - (1 + cos theta) / (2 theta sin theta),
+    c -> 1/12 + theta^2/720 as theta -> 0."""
+    W = _hat(w)
+    theta_sq = jnp.sum(w * w, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
+    small = theta_sq < 1e-8
+    c_exact = (1.0 / jnp.where(small, 1.0, theta_sq) -
+               (1.0 + jnp.cos(theta)) /
+               jnp.where(small, 1.0, 2.0 * theta * jnp.sin(theta)))
+    c = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, c_exact)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye - 0.5 * W + c * (W @ W)
+
+
+def se3_residual_increment(R: jnp.ndarray, t: jnp.ndarray,
+                           R_tgt: jnp.ndarray,
+                           t_tgt: jnp.ndarray) -> jnp.ndarray:
+    """The (w, u) increment with ``se3_update(R, t, .) == (R_tgt, t_tgt)``.
+
+    This is the per-level ground-truth residual target for cascade
+    supervision (the increment that moves the running pose exactly onto
+    the GT pose under the solver's left-composed update):
+      exp(w) = R_tgt R^T,  u = V(w)^{-1} (t_tgt - exp(w) t).
+    """
+    dR = R_tgt @ jnp.swapaxes(R, -1, -2)
+    w = log_so3(dR)
+    u = jnp.einsum("...ij,...j->...i", left_jacobian_inv(w),
+                   t_tgt - jnp.einsum("...ij,...j->...i", dR, t))
+    return jnp.concatenate([w, u], axis=-1)
+
+
 def compose(R1, t1, R2, t2):
     """(R1,t1) after (R2,t2): X -> R1 (R2 X + t2) + t1.
 

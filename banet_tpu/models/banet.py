@@ -41,7 +41,7 @@ from banet_tpu.models.dla import DLA
 from banet_tpu.models.drn import DRN
 from banet_tpu.models.pyramid import FeaturePyramid
 from banet_tpu.ops.grad2d import append_spatial_gradient
-from banet_tpu.ops.resample import bilinear_sample
+from banet_tpu.ops.resample import bilinear_sample, make_footprint_map
 
 
 class BANet(nn.Module):
@@ -98,21 +98,38 @@ class BANet(nn.Module):
 
     # ---------------- solver plumbing ----------------
 
+    def _target_stack(self, feats):
+        """Per-level target map in the configured sampler layout:
+        3C grad-map stack ("gradmap"), 4C footprint rows ("footprint"),
+        or the raw map itself ("direct" — 4-tap sample with interpolant
+        gradients, no prebuilt stack; ops/resample.py).
+        Returns (stack, sampler selector for warp_residuals)."""
+        mode = self.cfg.solver.sampler
+        if mode == "direct":
+            return feats, "direct"
+        if mode == "footprint":
+            return (make_footprint_map(feats),
+                    (feats.shape[1], feats.shape[2]))
+        return append_spatial_gradient(feats), None
+
     def _level_inputs(self, feats_ref, feats_tgt, points, intr, levels):
-        """Per-level (sampled ref feats, tgt feats+grads, intrinsics).
+        """Per-level (sampled ref feats, tgt stacks, intrinsics,
+        footprint shapes).
 
         ``levels`` indexes the coarse->fine pyramid; level i sits at
         scale 2^(L-1-i) (reference bundlenet.py:309-315)."""
         L = self.cfg.model.pyramid_levels
-        ref_l, tgt_l, intr_l = [], [], []
+        ref_l, tgt_l, intr_l, fp_l = [], [], [], []
         for lvl in levels:
             scale = 2 ** (L - 1 - lvl)
             pts = points / scale
             ref_l.append(bilinear_sample(feats_ref[lvl], pts[..., 0],
                                          pts[..., 1]))
-            tgt_l.append(append_spatial_gradient(feats_tgt[lvl]))
+            stack, fp = self._target_stack(feats_tgt[lvl])
+            tgt_l.append(stack)
+            fp_l.append(fp)
             intr_l.append(intr.scale(1.0 / scale))
-        return ref_l, tgt_l, intr_l
+        return ref_l, tgt_l, intr_l, fp_l
 
     def _damping_fns(self, levels):
         fns = []
@@ -162,14 +179,15 @@ class BANet(nn.Module):
         if feats_tgt is None:
             feats_tgt = self.features(image_tgt, train)
         levels = list(range(self.cfg.model.pyramid_levels))
-        ref_l, tgt_l, intr_l = self._level_inputs(
+        ref_l, tgt_l, intr_l, fp_l = self._level_inputs(
             feats_ref, feats_tgt, points, intr, levels)
         rays = backproject(points, intr,
                            normalized=self.cfg.geometry.normalized_rays)
         return solve_pose_pyramid(
             ref_l, tgt_l, rays, point_depths, R0, t0, intr_l,
             self._damping_fns(levels), self.cfg.solver,
-            renormalize_residual=self.cfg.solver.renormalize_residual)
+            renormalize_residual=self.cfg.solver.renormalize_residual,
+            footprint_hws=fp_l)
 
     def sample_ref_features(self, feats_ref: List[jnp.ndarray],
                             points: jnp.ndarray) -> List[jnp.ndarray]:
@@ -203,14 +221,17 @@ class BANet(nn.Module):
         feats_tgt = self.features(image_tgt, train)
         levels = list(range(self.cfg.model.pyramid_levels))
         L = self.cfg.model.pyramid_levels
-        tgt_l = [append_spatial_gradient(feats_tgt[lvl]) for lvl in levels]
+        stacks = [self._target_stack(feats_tgt[lvl]) for lvl in levels]
+        tgt_l = [s for s, _ in stacks]
+        fp_l = [fp for _, fp in stacks]
         intr_l = [intr.scale(1.0 / 2 ** (L - 1 - lvl)) for lvl in levels]
         rays = backproject(points, intr,
                            normalized=self.cfg.geometry.normalized_rays)
         return solve_pose_pyramid(
             ref_sampled, tgt_l, rays, point_depths, R0, t0, intr_l,
             self._damping_fns(levels), self.cfg.solver,
-            renormalize_residual=self.cfg.solver.renormalize_residual)
+            renormalize_residual=self.cfg.solver.renormalize_residual,
+            footprint_hws=fp_l)
 
     def bundle_adjust(self, image_ref: jnp.ndarray, image_tgt: jnp.ndarray,
                       intr: Intrinsics, points: jnp.ndarray,
@@ -259,14 +280,14 @@ class BANet(nn.Module):
         d0 = jnp.maximum(d0, 0.01)
         b = bilinear_sample(basis_map, pts_half[..., 0], pts_half[..., 1])
 
-        ref_l, tgt_l, intr_l = self._level_inputs(
+        ref_l, tgt_l, intr_l, fp_l = self._level_inputs(
             feats_ref, feats_tgt, points, intr, list(levels))
         rays = backproject(points, intr,
                            normalized=self.cfg.geometry.normalized_rays)
         R, t, W, per_level = solve_bundle_pyramid(
             ref_l, tgt_l, rays, d0, b, R0, t0, intr_l,
             self._damping_fns(list(levels)), self.cfg.solver,
-            iters_per_level=(1,) * len(levels))
+            iters_per_level=(1,) * len(levels), footprint_hws=fp_l)
         refined_depth = depth_map_from_basis(depth_map, basis_map, W)
         # Per-level full depth maps, as the reference emits for
         # supervision (bundlenet.py:395-397).

@@ -1,13 +1,24 @@
 """Training for the DeepTAM-class TrackingNet (models/tracking_net.py).
 
 The reference uses its tracking network purely as a pretrained baseline
-(weights fetched out-of-band, D8); the training recipe here follows the
-cascade supervision the architecture implies: every level's motion
-sample set is pulled toward the ground-truth *residual* increment at
-that level (the increment that would move the current pose estimate to
-the GT pose), so coarse levels learn large corrections and fine levels
-learn refinements.  The sample spread gets a weak hinge toward the
-per-level error magnitude so the uncertainty output stays calibrated.
+(weights fetched out-of-band, D8; cascade semantics at reference
+deeptam models/blocks.py:91-197).  The recipe here implements cascade
+supervision exactly:
+
+- **Per-level GT-residual targets.**  The running pose entering level l
+  is replayed from the sample means of levels < l; the target for
+  level l's samples is the SE(3) increment that moves that running
+  pose exactly onto the GT pose (``se3_residual_increment``), so
+  coarse levels learn large corrections and fine levels refinements.
+  Targets are stop-gradiented: each level is supervised given what the
+  cascade actually did, without the target chasing the prediction.
+- **Spread calibration.**  The per-level sample std is pulled toward
+  the (stop-gradiented) actual per-component error of that level's
+  mean prediction — an uncertainty that matches realized error, rather
+  than the collapse-to-zero that penalizing |samples - their own mean|
+  produces.
+- Final-pose supervision (geodesic rotation + translation L2) on the
+  cascade output.
 """
 
 from __future__ import annotations
@@ -57,6 +68,9 @@ def make_tnet_train_step(net: TrackingNet,
     R_gt (B,3,3), t_gt (B,3)."""
 
     def loss_fn(params, batch):
+        from banet_tpu.geometry.se3 import (se3_residual_increment,
+                                            se3_update)
+
         intr = Intrinsics.from_array(batch["intr_array"])
         out = net.apply({"params": params}, batch["image1"],
                         batch["depth"], batch["image2"], intr)
@@ -64,19 +78,34 @@ def make_tnet_train_step(net: TrackingNet,
         ang = rotation_geodesic_angle(out.R, batch["R_gt"])
         terr = jnp.linalg.norm(out.t - batch["t_gt"], axis=-1)
         pose_loss = jnp.mean(ang) + jnp.mean(terr)
-        # Sample-set supervision: every sample at every level pulled
-        # toward the GT (mean absolute error over the 6-dof increment
-        # sums the per-level residual targets implicitly since levels
-        # compose; the dominant gradient is on the mean).
-        from banet_tpu.geometry.se3 import rotation_to_quaternion
 
-        sample_loss = 0.0
-        for s in out.motion_samples:
-            mean = jnp.mean(s, axis=1)
-            sample_loss += jnp.mean(jnp.abs(s - mean[:, None, :]) * 0.01)
-        return pose_loss + sample_loss, {"pose_loss": pose_loss,
-                                         "ang_deg": jnp.degrees(
-                                             jnp.mean(ang))}
+        # Cascade supervision: replay the running pose through the
+        # level means; each level's samples are pulled toward the
+        # (stop-gradiented) increment that would land the running pose
+        # exactly on GT, and each level's sample std is calibrated
+        # against the realized per-component error of its mean.
+        B = batch["R_gt"].shape[0]
+        R_run = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        t_run = jnp.zeros((B, 3))
+        residual_loss = 0.0
+        spread_loss = 0.0
+        for s in out.motion_samples:                       # (B, S, 6)
+            target = jax.lax.stop_gradient(se3_residual_increment(
+                R_run, t_run, batch["R_gt"], batch["t_gt"]))  # (B, 6)
+            mean = jnp.mean(s, axis=1)                     # (B, 6)
+            residual_loss += jnp.mean(jnp.abs(s - target[:, None, :]))
+            err = jax.lax.stop_gradient(jnp.abs(mean - target))
+            std = jnp.std(s, axis=1)
+            spread_loss += jnp.mean(jnp.abs(std - err))
+            R_run, t_run = se3_update(R_run, t_run, mean)
+        L = len(out.motion_samples)
+        residual_loss = residual_loss / L
+        spread_loss = spread_loss / L
+        total = pose_loss + residual_loss + 0.1 * spread_loss
+        return total, {"pose_loss": pose_loss,
+                       "residual_loss": residual_loss,
+                       "spread_loss": spread_loss,
+                       "ang_deg": jnp.degrees(jnp.mean(ang))}
 
     def step(state: TNetTrainState, batch: Dict):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

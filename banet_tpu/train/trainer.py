@@ -33,9 +33,11 @@ class TrainState(flax.struct.PyTreeNode):
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     tc = cfg.train
     if tc.lr_schedule == "cosine":
+        # Clamp warmup for short runs (decay_steps must stay positive).
+        warmup = min(tc.warmup_steps, max(tc.total_steps // 10, 1))
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=tc.learning_rate,
-            warmup_steps=tc.warmup_steps, decay_steps=tc.total_steps,
+            warmup_steps=warmup, decay_steps=tc.total_steps,
             end_value=tc.lr_final_scale * tc.learning_rate)
     else:
         lr = tc.learning_rate
@@ -96,6 +98,60 @@ def make_train_step(model: BANet, cfg: Config
         return new_state, metrics
 
     return train_step
+
+
+def crop_augmented_batch(key, batch: int = 2,
+                         src_size: Tuple[int, int] = (60, 80),
+                         dst_size: Tuple[int, int] = (64, 80),
+                         border: int = 4,
+                         num_points: int = 64) -> Dict:
+    """Training batch through the reference's train-crop geometry
+    (reference bundlenet.py:286-302): render a pair at the sensor size,
+    trim a ``border``-pixel frame, resize the crop to the training
+    size, and remap points / intrinsics with ``crop_remap`` /
+    ``crop_adjusted_intrinsics`` so the projective geometry stays exact
+    (the remap is affine in pixel coordinates, so projecting-then-
+    remapping equals projecting with the adjusted intrinsics).
+
+    Default sizes mirror the reference's 240x320 -> 256x320 shape ratio
+    at test scale; pass (240, 320) -> (256, 320) for the real operating
+    point.
+    """
+    from banet_tpu.geometry.camera import (crop_adjusted_intrinsics,
+                                           crop_remap)
+
+    Hs, Ws = src_size
+    Hd, Wd = dst_size
+    pair = make_synthetic_image_pair(key, batch, Hs, Ws)
+    b = border
+
+    def crop_resize(img, method="bilinear"):
+        region = img[:, b:Hs - b, b:Ws - b]
+        shape = (batch, Hd, Wd) + img.shape[3:]
+        return jax.image.resize(region, shape, method)
+
+    image1 = crop_resize(pair["image1"])
+    image2 = crop_resize(pair["image2"])
+    depth_gt = crop_resize(pair["depth"])
+
+    k2 = jax.random.split(key, 2)[1]
+    pts_src = jnp.stack([
+        jax.random.uniform(k2, (batch, num_points), minval=b + 2.0,
+                           maxval=Ws - b - 2.0),
+        jax.random.uniform(jax.random.fold_in(k2, 1),
+                           (batch, num_points), minval=b + 2.0,
+                           maxval=Hs - b - 2.0),
+    ], axis=-1)
+    pts = crop_remap(pts_src, src_size, dst_size, b)
+    intr = crop_adjusted_intrinsics(pair["intr"], src_size, dst_size, b)
+    return dict(
+        image1=image1, image2=image2,
+        intr_array=intr.as_array(),
+        points=pts,
+        R_gt=pair["R_true"], t_gt=pair["t_true"],
+        depth_gt=depth_gt,
+        valid_mask=jnp.ones_like(depth_gt),
+    )
 
 
 def synthetic_batch(key, batch: int = 2, height: int = 64, width: int = 96,

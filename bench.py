@@ -119,6 +119,61 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    @jax.jit
+    def bundle(variables, img1, img2, k, pts):
+        intr = Intrinsics.from_array(k)
+        out = model.apply(variables, img1, img2, intr, pts,
+                          method=model.bundle_adjust)
+        return out["R"], out["t"], out["W"]
+
+    @jax.jit
+    def window_chain(variables, reps, img_key, imgs_tgt, k, pts):
+        """Run the F-frame window BA ``reps`` times serially (carry-
+        perturbed inputs) — the k-chain slope cancels the relay RTT
+        without a batch axis."""
+        intr = Intrinsics.from_array(k)
+
+        def body(_, carry):
+            img, acc = carry
+            out = model.apply(variables, img, imgs_tgt, intr, pts,
+                              method=model.window_bundle_adjust)
+            s = jnp.sum(out["ts"])
+            return (img + 1e-9 * s, acc + s)
+
+        _, acc = jax.lax.fori_loop(0, reps, body,
+                                   (img_key, jnp.float32(0.0)))
+        return acc
+
+    def timed_bundle(batch):
+        sets = [make_inputs(batch, 300 + r) for r in range(3)]
+        _ = np.asarray(bundle(variables, sets[0][0], sets[0][1],
+                              sets[0][2], sets[0][3])[0])
+        times = []
+        for i1, i2, kk, pts, _d in sets:
+            t0 = time.perf_counter()
+            out = bundle(variables, i1, i2, kk, pts)
+            _ = np.asarray(out[0])
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    def timed_window(reps):
+        i1, i2, kk, pts, _d = make_inputs(1, 400)
+        WF = 4
+        imgs_tgt = jnp.concatenate(
+            [make_inputs(1, 400 + r)[1] for r in range(WF)])
+        _ = np.asarray(window_chain(variables, jnp.int32(reps), i1[0],
+                                    imgs_tgt, kk, pts))
+        times = []
+        for r in range(3):
+            i1v, _i2, kkv, ptsv, _ = make_inputs(1, 500 + r)
+            _ = np.asarray(jnp.sum(i1v))
+            t0 = time.perf_counter()
+            out = window_chain(variables, jnp.int32(reps), i1v[0],
+                               imgs_tgt, kkv, ptsv)
+            _ = np.asarray(out)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
     flops = None
     try:
         lowered = track.lower(variables, *make_inputs(B_BIG, 0))
@@ -148,6 +203,18 @@ def main():
     except Exception:
         pass
 
+    # BA-path numbers (BASELINE's metric is "BA frames/sec/chip"):
+    # joint pose+depth bundle adjust per pair (batch slope) and the
+    # F=4-frame window BA (iteration-chain slope).
+    tb_small = timed_bundle(2)
+    tb_big = timed_bundle(10)
+    bundle_ms = max((tb_big - tb_small) / 8.0, 1e-6) * 1e3
+    WF = 4
+    tw_small = timed_window(1)
+    tw_big = timed_window(5)
+    window_ms = max((tw_big - tw_small) / 4.0, 1e-6) * 1e3
+    window_fps = WF / (window_ms / 1e3)
+
     fl = flops_cached or flops
     vs_baseline = (fl / PEAK_FLOPS / t_frame) if fl else 0.0
 
@@ -160,6 +227,10 @@ def main():
             "image": [H, W], "points": N,
             "per_frame_ms_cached_keyframe": round(t_frame * 1e3, 4),
             "per_frame_ms_cold_pair": round(t_frame_pair * 1e3, 4),
+            "bundle_ms_per_pair": round(bundle_ms, 4),
+            "window_ba_ms": round(window_ms, 4),
+            "window_ba_fps": round(window_fps, 3),
+            "window_frames": WF,
             "hlo_gflops_per_frame": round((fl or 0.0) / 1e9, 2),
             "sol_ms_per_frame": round(1e3 * (fl or 0.0) / PEAK_FLOPS, 4),
             "device": str(jax.devices()[0]),

@@ -302,11 +302,18 @@ def bench_iter_slope():
     dvars = dnet.init(jax.random.PRNGKey(0), jnp.zeros((1, C)))
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    def make(seed):
+    from banet_tpu.ops.resample import make_footprint_map
+
+    def make(seed, mode="gradmap"):
         prob = make_two_view_problem(jax.random.PRNGKey(seed), batch=1,
                                      height=H, width=W, channels=C,
                                      num_points=N)
-        tgt = append_spatial_gradient(prob["tgt_feats"])
+        if mode == "gradmap":
+            tgt = append_spatial_gradient(prob["tgt_feats"])
+        else:
+            tgt = make_footprint_map(prob["tgt_feats"])
+            if mode == "fp_bf16":
+                tgt = tgt.astype(jnp.bfloat16)
         return (prob["ref_feats"], tgt, prob["rays"], prob["depth"],
                 jnp.broadcast_to(jnp.eye(3), (1, 3, 3)),
                 jnp.zeros((1, 3)), prob["intr"])
@@ -333,11 +340,12 @@ def bench_iter_slope():
         return damping_pallas(dvars["params"], avg_r,
                               interpret=not on_tpu)
 
-    def variant(use_mlp, solver, reject):
+    def variant(use_mlp, solver, reject, fp_hw=None):
         """Returns fn(k, *args) running k serial iterations."""
 
         def run(k, ref, tgt, rays, depth, R0, t0, intr):
-            wr0 = warp_residuals(ref, tgt, rays, depth, R0, t0, intr)
+            wr0 = warp_residuals(ref, tgt, rays, depth, R0, t0, intr,
+                                 footprint=fp_hw)
 
             def body(_, carry):
                 R, t, wr = carry
@@ -354,7 +362,8 @@ def bench_iter_slope():
                 else:
                     delta = -1e-4 * Atb
                 R2, t2 = se3_update(R, t, delta)
-                wr2 = warp_residuals(ref, tgt, rays, depth, R2, t2, intr)
+                wr2 = warp_residuals(ref, tgt, rays, depth, R2, t2, intr,
+                                     footprint=fp_hw)
                 if reject:
                     res_b = jnp.mean(wr.avg_abs_residual(False), axis=-1)
                     res_a = jnp.mean(wr2.avg_abs_residual(False), axis=-1)
@@ -408,31 +417,44 @@ def bench_iter_slope():
         return solve_only
 
     variants = [
-        ("iter_full_lu_mlp", variant("mlp", "lu", True)),
-        ("iter_full_chol_mlp", variant("mlp", "chol", True)),
-        ("iter_full_chol_pallasmlp", variant("pallas", "chol", True)),
-        ("iter_chol_nomlp", variant("none", "chol", True)),
-        ("iter_nosolve_nomlp", variant("none", "none", True)),
-        ("iter_noreject_chol_mlp", variant("mlp", "chol", False)),
-        ("warp_sample_only", warp_only),
-        ("mlp_only_flax", mlp_only_factory("mlp")),
-        ("mlp_only_pallas", mlp_only_factory("pallas")),
-        ("solve_only_lu", solve_only_factory("lu")),
-        ("solve_only_chol", solve_only_factory("chol")),
+        ("iter_full_lu_mlp", variant("mlp", "lu", True), "gradmap"),
+        ("iter_full_chol_mlp", variant("mlp", "chol", True), "gradmap"),
+        ("iter_full_chol_pallasmlp", variant("pallas", "chol", True),
+         "gradmap"),
+        ("iter_chol_nomlp", variant("none", "chol", True), "gradmap"),
+        ("iter_nosolve_nomlp", variant("none", "none", True), "gradmap"),
+        ("iter_noreject_chol_mlp", variant("mlp", "chol", False),
+         "gradmap"),
+        ("iter_footprint_chol_mlp",
+         variant("mlp", "chol", True, fp_hw=(H, W)), "fp"),
+        ("iter_footprint_bf16",
+         variant("mlp", "chol", True, fp_hw=(H, W)), "fp_bf16"),
+        ("warp_sample_only", warp_only, "gradmap"),
+        ("mlp_only_flax", mlp_only_factory("mlp"), "gradmap"),
+        ("mlp_only_pallas", mlp_only_factory("pallas"), "gradmap"),
+        ("solve_only_lu", solve_only_factory("lu"), "gradmap"),
+        ("solve_only_chol", solve_only_factory("chol"), "gradmap"),
     ]
-    k1, k2 = 4, 28
-    for name, fn in variants:
+    # Wide k spread: the relay's ~25 ms round-trip jitters by ~1 ms, so
+    # the iteration delta must be >> that to resolve ~0.1 ms slopes.
+    only = os.environ.get("ITER_SLOPE_ONLY", "")
+    if only:
+        pats = only.split(",")
+        variants = [v for v in variants
+                    if any(p in v[0] for p in pats)]
+    k1, k2 = 8, 264
+    for name, fn, mode in variants:
         jfn = jax.jit(fn)
 
         def timed(k):
             # Unique inputs per call (the relay dedupes identical
             # queued executions); a tiny checksum fetch drains the
             # queue so arg construction stays outside the timed span.
-            args = make(97)
+            args = make(97, mode)
             _ = np.asarray(jfn(jnp.int32(k), *args))  # compile + warm
             ts = []
             for seed in range(1, 5):
-                args = make(1000 * k + seed)
+                args = make(1000 * k + seed, mode)
                 _ = np.asarray(jnp.sum(args[0]))
                 t0 = time.perf_counter()
                 out = jfn(jnp.int32(k), *args)
@@ -448,8 +470,106 @@ def bench_iter_slope():
                           "t_k28_ms": round(t_b * 1e3, 3)}))
 
 
+def bench_frame_slope():
+    """Production tracking-path components, timed by chaining k serial
+    calls inside one fori_loop (B=1, the odometry operating point).
+
+    Accounts for the full cached-keyframe frame: target pyramid
+    (encoder+FPN), per-level sampler-stack builds, and the 4-level
+    27-iteration pose solve — the parts iter_slope's synthetic single
+    level does not cover.
+    """
+    from banet_tpu.config import default_config
+    from banet_tpu.geometry.camera import Intrinsics
+    from banet_tpu.models.banet import BANet
+
+    H, W, N = 256, 320, 1024
+    cfg = default_config()
+    model = BANet(cfg)
+    img0 = jnp.zeros((1, H, W, 3))
+    intr_arr = jnp.array([[0.8 * W, 0.8 * W, W / 2.0, H / 2.0]],
+                         jnp.float32)
+    intr = Intrinsics.from_array(intr_arr)
+    pts0 = jnp.stack(
+        [jax.random.uniform(jax.random.PRNGKey(0), (1, N), minval=16.0,
+                            maxval=W - 16.0),
+         jax.random.uniform(jax.random.PRNGKey(1), (1, N), minval=16.0,
+                            maxval=H - 16.0)], axis=-1)
+    variables = model.init(jax.random.PRNGKey(2), img0, img0, intr, pts0)
+    depths = jnp.full((1, N), 2.5)
+
+    def feats_fn(img):
+        return model.apply(variables, img, method=model.features)
+
+    ref_sampled = model.apply(
+        variables, feats_fn(img0), pts0,
+        method=model.sample_ref_features)
+
+    def pyramid_only(k, img):
+        def body(i, carry):
+            img, acc = carry
+            f = feats_fn(img + 1e-6 * acc)
+            s = jnp.sum(f[0].astype(jnp.float32))
+            return (img, acc + s * 1e-12)
+        _, acc = jax.lax.fori_loop(0, k, body, (img, jnp.float32(0)))
+        return acc
+
+    def stacks_only(k, img):
+        def body(i, carry):
+            img, acc = carry
+            f = feats_fn(img + 1e-6 * acc)
+
+            def stack(x):
+                return model.apply(variables, x,
+                                   method=model._target_stack)[0]
+            s = sum(jnp.sum(stack(fl).astype(jnp.float32)) for fl in f)
+            return (img, acc + s * 1e-12)
+        _, acc = jax.lax.fori_loop(0, k, body, (img, jnp.float32(0)))
+        return acc
+
+    def track_cached(k, img):
+        def body(i, carry):
+            t0, acc = carry
+            R, t, aux = model.apply(
+                variables, ref_sampled, img, intr, pts0, depths, None,
+                t0, method=model.pose_track_cached)
+            return (t * 1e-6, acc + jnp.sum(t))
+        _, acc = jax.lax.fori_loop(0, k, body,
+                                   (jnp.zeros((1, 3)), jnp.float32(0)))
+        return acc
+
+    variants = [("pyramid_only_B1", pyramid_only, 2, 18),
+                ("pyramid_stacks_B1", stacks_only, 2, 18),
+                ("track_cached_frame_B1", track_cached, 2, 18)]
+    for name, fn, k1, k2 in variants:
+        jfn = jax.jit(fn)
+
+        def timed(k):
+            img = 255.0 * jax.random.uniform(jax.random.PRNGKey(90),
+                                             (1, H, W, 3))
+            _ = np.asarray(jfn(jnp.int32(k), img))
+            ts = []
+            for seed in range(1, 4):
+                img = 255.0 * jax.random.uniform(
+                    jax.random.PRNGKey(1000 * k + seed), (1, H, W, 3))
+                _ = np.asarray(jnp.sum(img))
+                t0 = time.perf_counter()
+                out = jfn(jnp.int32(k), img)
+                _ = np.asarray(out)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_a, t_b = timed(k1), timed(k2)
+        per = max((t_b - t_a) / (k2 - k1), 1e-9)
+        print(json.dumps({"component": name,
+                          "per_call_ms": round(per * 1e3, 4),
+                          "t_k_small_ms": round(t_a * 1e3, 3),
+                          "t_k_big_ms": round(t_b * 1e3, 3)}))
+
+
 BENCHES = {
     "sampler": bench_sampler,
+    "frame_slope": bench_frame_slope,
     "iter_slope": bench_iter_slope,
     "gn_breakdown": bench_gn_breakdown,
     "sampler_block": bench_sampler_block,

@@ -1,0 +1,127 @@
+"""Round-2 accuracy campaign: train the flagship on the multi-plane
+synthetic curriculum, with cosine LR + parameter EMA, then save
+checkpoints for trajectory-level evaluation.
+
+The reference ships no training code and its TF1 checkpoints are
+unusable (SURVEY.md "Critical context" + §7 hard part #4); ATE parity
+requires training from scratch.  This zero-egress environment has no
+real datasets, so the curriculum is the analytic multi-plane renderer
+(data/synthetic.make_plane_scene_pair): real parallax, occlusion
+boundaries, photometric jitter — rendered on-device inside the jitted
+batch builder.
+
+Usage (TPU, ~background):
+  python scripts/train_accuracy_campaign.py \
+      --steps 5000 --image-size 256 320 --batch 4 \
+      --out artifacts/campaign_r2
+
+Writes: <out>/metrics.jsonl, <out>/ckpt (last), <out>/ckpt_ema (EMA).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--image-size", type=int, nargs=2,
+                    default=(256, 320))
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--num-points", type=int, default=1024)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--ema-decay", type=float, default=0.999)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--out", default="artifacts/campaign_r2")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from banet_tpu.config import default_config
+    from banet_tpu.data.synthetic import make_plane_scene_pair
+    from banet_tpu.train.trainer import (create_train_state,
+                                         make_train_step)
+    from banet_tpu.utils.checkpoint import save_checkpoint
+
+    H, W = args.image_size
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, learning_rate=args.lr, total_steps=args.steps,
+            lr_schedule="cosine"))
+
+    os.makedirs(args.out, exist_ok=True)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      image_size=(H, W),
+                                      num_points=args.num_points)
+    step_fn = jax.jit(make_train_step(model, cfg))
+
+    @jax.jit
+    def make_batch(key, rot_mag, trans_mag, photo, noise):
+        pair = make_plane_scene_pair(
+            key, batch=args.batch, height=H, width=W,
+            rot_magnitude=rot_mag, trans_magnitude=trans_mag,
+            photometric_gain=photo, pixel_noise=noise)
+        kp = jax.random.fold_in(key, 77)
+        pts = jnp.stack([
+            jax.random.uniform(kp, (args.batch, args.num_points),
+                               minval=6.0, maxval=W - 6.0),
+            jax.random.uniform(jax.random.fold_in(kp, 1),
+                               (args.batch, args.num_points),
+                               minval=6.0, maxval=H - 6.0)], axis=-1)
+        return dict(image1=pair["image1"], image2=pair["image2"],
+                    intr_array=pair["intr"].as_array(), points=pts,
+                    R_gt=pair["R_true"], t_gt=pair["t_true"],
+                    depth_gt=pair["depth"],
+                    valid_mask=(pair["depth"] > 0).astype(jnp.float32))
+
+    @jax.jit
+    def ema_update(ema, params, decay):
+        return jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
+                            ema, params)
+
+    ema = state.params
+    t_start = time.time()
+    log_path = os.path.join(args.out, "metrics.jsonl")
+    with open(log_path, "a") as logf:
+        for i in range(args.steps):
+            frac = i / max(args.steps - 1, 1)
+            # Curriculum: motion + photometric difficulty ramp.
+            rot = jnp.float32(0.01 + 0.03 * min(1.0, 2 * frac))
+            trn = jnp.float32(0.02 + 0.04 * min(1.0, 2 * frac))
+            pho = jnp.float32(0.10 * min(1.0, max(0.0, 2 * frac - 0.5)))
+            noi = jnp.float32(2.0 * min(1.0, max(0.0, 2 * frac - 0.5)))
+            batch = make_batch(jax.random.PRNGKey(i), rot, trn, pho, noi)
+            state, metrics = step_fn(state, batch)
+            ema = ema_update(ema, state.params,
+                             jnp.float32(args.ema_decay))
+            if i % args.log_every == 0 or i == args.steps - 1:
+                rec = {k: float(v) for k, v in metrics.items()}
+                rec.update(step=i, wall_s=round(time.time() - t_start, 1))
+                logf.write(json.dumps(rec) + "\n")
+                logf.flush()
+                print(json.dumps(rec), flush=True)
+
+    variables = {"params": state.params,
+                 "batch_stats": state.batch_stats}
+    save_checkpoint(os.path.join(args.out, "ckpt"), variables)
+    save_checkpoint(os.path.join(args.out, "ckpt_ema"),
+                    {"params": jax.device_get(ema),
+                     "batch_stats": state.batch_stats})
+    print(json.dumps({"done": True,
+                      "wall_s": round(time.time() - t_start, 1),
+                      "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -268,3 +268,89 @@ class TestUpsample:
                              [0.1875, 0.5625, 0.5625, 0.1875],
                              [0.0625, 0.1875, 0.1875, 0.0625]])
         np.testing.assert_allclose(_KERNEL_2D, expected)
+
+
+class TestFootprintSampler:
+    def _setup(self, seed=0, B=2, H=24, W=30, C=5, N=64):
+        import jax
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        f = jax.random.normal(ks[0], (B, H, W, C))
+        px = jax.random.uniform(ks[1], (B, N), minval=-3.0,
+                                maxval=W + 2.0)
+        py = jax.random.uniform(ks[2], (B, N), minval=-3.0,
+                                maxval=H + 2.0)
+        return f, px, py
+
+    def test_value_and_mask_match_four_tap(self):
+        from banet_tpu.ops.resample import (bilinear_sample_with_mask,
+                                            make_footprint_map,
+                                            sample_footprint)
+        f, px, py = self._setup()
+        H, W = f.shape[1], f.shape[2]
+        fp = make_footprint_map(f)
+        v, gx, gy, m = sample_footprint(fp, H, W, px, py)
+        v_ref, m_ref = bilinear_sample_with_mask(f, px, py)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+
+    def test_gradient_is_interpolant_derivative(self):
+        import jax
+        from banet_tpu.ops.resample import (bilinear_sample,
+                                            make_footprint_map,
+                                            sample_footprint)
+        f, px, py = self._setup(seed=1)
+        H, W = f.shape[1], f.shape[2]
+        # Keep strictly inside cells (the interpolant's derivative is
+        # discontinuous at integer boundaries, where a central
+        # difference would straddle two cells).
+        px = jnp.floor(jnp.clip(px, 1.0, W - 3.0)) + 0.4
+        py = jnp.floor(jnp.clip(py, 1.0, H - 3.0)) + 0.6
+        fp = make_footprint_map(f)
+        _, gx, gy, _ = sample_footprint(fp, H, W, px, py)
+        # The interpolant is linear within a cell, so a wide central
+        # difference (still inside the cell) is exact and avoids f32
+        # cancellation noise.
+        eps = 0.05
+        num_gx = (bilinear_sample(f, px + eps, py) -
+                  bilinear_sample(f, px - eps, py)) / (2 * eps)
+        num_gy = (bilinear_sample(f, px, py + eps) -
+                  bilinear_sample(f, px, py - eps)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(num_gx),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(num_gy),
+                                   atol=1e-3)
+
+    def test_out_of_bounds_is_zero(self):
+        from banet_tpu.ops.resample import (make_footprint_map,
+                                            sample_footprint)
+        f, _, _ = self._setup(seed=2)
+        H, W = f.shape[1], f.shape[2]
+        fp = make_footprint_map(f)
+        px = jnp.array([[-50.0, W + 7.0, W - 0.5]])
+        py = jnp.array([[5.0, 5.0, H + 0.5]])
+        v, gx, gy, m = sample_footprint(fp, H, W, px[:, :],
+                                        py[:, :])
+        np.testing.assert_allclose(np.asarray(v[0, :2]), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m[0]), [0.0, 0.0, 0.0])
+
+    def test_direct_mode_matches_footprint(self):
+        from banet_tpu.ops.resample import (make_footprint_map,
+                                            sample_footprint,
+                                            sample_with_gradient)
+        f, px, py = self._setup(seed=3)
+        H, W = f.shape[1], f.shape[2]
+        fp = make_footprint_map(f)
+        v1, gx1, gy1, m1 = sample_footprint(fp, H, W, px, py)
+        v2, gx2, gy2, m2 = sample_with_gradient(f, px, py)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        # Gradients agree wherever every tap is in-bounds (the modes
+        # differ only in how out-of-range taps are zeroed).
+        inner = ((px >= 1) & (px <= W - 2) & (py >= 1) &
+                 (py <= H - 2)).astype(np.float32)[..., None]
+        np.testing.assert_allclose(np.asarray(gx1 * inner),
+                                   np.asarray(gx2 * inner), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gy1 * inner),
+                                   np.asarray(gy2 * inner), atol=1e-5)

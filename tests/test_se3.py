@@ -139,3 +139,52 @@ class TestComposeInvert:
         R2 = se3.exp_so3(jnp.array([[0.25, 0.0, 0.0]]))
         ang = se3.rotation_geodesic_angle(R1, R2)
         np.testing.assert_allclose(np.asarray(ang), [0.25], atol=1e-6)
+
+
+class TestLogAndResidual:
+    def test_log_so3_roundtrip(self):
+        for scale in (1e-8, 1e-4, 0.3, 1.5, 3.0):
+            w = random_w(jax.random.PRNGKey(11), 32, scale=scale)
+            # Keep ||w|| < pi so the log is the unique inverse.
+            n = jnp.linalg.norm(w, axis=-1, keepdims=True)
+            w = jnp.where(n > 3.1, w * (3.1 / n), w)
+            w_back = se3.log_so3(se3.exp_so3(w))
+            np.testing.assert_allclose(np.asarray(w_back), np.asarray(w),
+                                       atol=1e-4)
+
+    def test_log_so3_near_pi(self):
+        w = jnp.array([[3.14, 0.0, 0.0], [0.0, -3.13, 0.01]])
+        w_back = se3.log_so3(se3.exp_so3(w))
+        # Sign of the axis may flip only at exactly pi; these are below.
+        np.testing.assert_allclose(np.asarray(w_back), np.asarray(w),
+                                   atol=1e-3)
+
+    def test_left_jacobian_inverse(self):
+        w = random_w(jax.random.PRNGKey(12), 16, scale=1.0)
+        V = se3.left_jacobian(w)
+        Vi = se3.left_jacobian_inv(w)
+        eye = np.broadcast_to(np.eye(3), (16, 3, 3))
+        np.testing.assert_allclose(np.asarray(V @ Vi), eye, atol=1e-5)
+        w0 = jnp.zeros((2, 3))
+        np.testing.assert_allclose(
+            np.asarray(se3.left_jacobian_inv(w0)),
+            np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-6)
+
+    def test_residual_increment_reaches_target(self):
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(13), 4)
+        R = se3.exp_so3(0.3 * jax.random.normal(k1, (8, 3)))
+        t = jax.random.normal(k2, (8, 3))
+        Rg = se3.exp_so3(0.3 * jax.random.normal(k3, (8, 3)))
+        tg = jax.random.normal(k4, (8, 3))
+        delta = se3.se3_residual_increment(R, t, Rg, tg)
+        Rn, tn = se3.se3_update(R, t, delta)
+        np.testing.assert_allclose(np.asarray(Rn), np.asarray(Rg),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tn), np.asarray(tg),
+                                   atol=1e-4)
+
+    def test_residual_increment_zero_at_target(self):
+        R = se3.exp_so3(jnp.array([[0.2, 0.1, -0.3]]))
+        t = jnp.array([[0.5, -1.0, 2.0]])
+        delta = se3.se3_residual_increment(R, t, R, t)
+        np.testing.assert_allclose(np.asarray(delta), 0.0, atol=1e-6)

@@ -188,3 +188,47 @@ def test_bundle_gradients_flow_to_inputs():
     for gi in g:
         assert bool(jnp.all(jnp.isfinite(gi)))
         assert float(jnp.abs(gi).max()) > 0.0
+
+
+@pytest.mark.parametrize("normalized", [True, False])
+def test_pose_level_converges_footprint(normalized):
+    # Footprint (one-gather, interpolant-derivative) sampler mode must
+    # converge like the gradient-map mode on the same problem.
+    from banet_tpu.ops.resample import make_footprint_map
+
+    prob = make_two_view_problem(jax.random.PRNGKey(0), batch=2,
+                                 num_points=256, normalized_rays=normalized)
+    H, W = prob["tgt_feats"].shape[1:3]
+    fp = make_footprint_map(prob["tgt_feats"])
+    B = 2
+    R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    t0 = jnp.zeros((B, 3))
+    cfg = SolverConfig(reject_bad_steps=True, early_termination=True)
+
+    ang0, terr0 = pose_errors(R0, t0, prob["R_true"], prob["t_true"])
+    R, t, aux = solve_pose_level(
+        prob["ref_feats"], fp, prob["rays"], prob["depth"], R0, t0,
+        prob["intr"], const_damping(), num_iters=12, cfg=cfg,
+        footprint_hw=(H, W))
+    ang, terr = pose_errors(R, t, prob["R_true"], prob["t_true"])
+    assert ang < ang0 / 10, (ang, ang0)
+    assert terr < terr0 / 10, (terr, terr0)
+    assert float(aux.keep_ratio.min()) > 0.9
+
+
+def test_pose_level_converges_direct_sampler():
+    prob = make_two_view_problem(jax.random.PRNGKey(0), batch=2,
+                                 num_points=256, normalized_rays=False)
+    B = 2
+    R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    t0 = jnp.zeros((B, 3))
+    cfg = SolverConfig(reject_bad_steps=True, early_termination=True)
+    ang0, terr0 = pose_errors(R0, t0, prob["R_true"], prob["t_true"])
+    R, t, aux = solve_pose_level(
+        prob["ref_feats"], prob["tgt_feats"], prob["rays"],
+        prob["depth"], R0, t0, prob["intr"], const_damping(),
+        num_iters=12, cfg=cfg, footprint_hw="direct")
+    ang, terr = pose_errors(R, t, prob["R_true"], prob["t_true"])
+    assert ang < ang0 / 10, (ang, ang0)
+    assert terr < terr0 / 10, (terr, terr0)
+    assert float(aux.keep_ratio.min()) > 0.9

@@ -89,3 +89,62 @@ class TestTrainStep:
             assert np.isfinite(losses[-1])
             assert float(metrics["grad_norm"]) > 0.0
         assert int(state.step) == 2
+
+
+class TestCropPipeline:
+    def test_crop_geometry_is_exact(self):
+        # Projecting in source coords then remapping the pixels must
+        # equal projecting with the crop-adjusted intrinsics: the crop
+        # is affine in pixel space (reference bundlenet.py:286-302).
+        from banet_tpu.geometry.camera import (backproject,
+                                               crop_adjusted_intrinsics,
+                                               crop_remap, warp_points)
+
+        src, dst, b = (60, 92), (64, 96), 4
+        intr_src = Intrinsics(jnp.array([70.0]), jnp.array([72.0]),
+                              jnp.array([40.0]), jnp.array([30.0]))
+        intr_dst = crop_adjusted_intrinsics(intr_src, src, dst, b)
+        pts = jnp.array([[[10.0, 12.0], [50.0, 40.0], [70.0, 20.0]]])
+        depth = jnp.array([[2.0, 3.0, 2.5]])
+        R = exp_so3(jnp.array([[0.02, -0.01, 0.03]]))
+        t = jnp.array([[0.05, 0.02, -0.04]])
+
+        rays = backproject(pts, intr_src, normalized=False)
+        px_s, py_s, *_ = warp_points(rays, depth, R, t, intr_src)
+        warped_then_remapped = crop_remap(
+            jnp.stack([px_s, py_s], axis=-1), src, dst, b)
+
+        pts_d = crop_remap(pts, src, dst, b)
+        rays_d = backproject(pts_d, intr_dst, normalized=False)
+        px_d, py_d, *_ = warp_points(rays_d, depth, R, t, intr_dst)
+        np.testing.assert_allclose(
+            np.asarray(warped_then_remapped[..., 0]), np.asarray(px_d),
+            rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(warped_then_remapped[..., 1]), np.asarray(py_d),
+            rtol=1e-4, atol=1e-3)
+
+    def test_train_step_on_cropped_batches(self):
+        from banet_tpu.train.trainer import crop_augmented_batch
+
+        cfg = Config(
+            model=ModelConfig(backbone="drn22", compute_dtype="float32"),
+            solver=SolverConfig(level_iters=(1, 1, 1, 1)),
+        )
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                          image_size=(64, 96),
+                                          num_points=32)
+        step = jax.jit(make_train_step(model, cfg))
+        for i in range(2):
+            batch = crop_augmented_batch(jax.random.PRNGKey(i), batch=1,
+                                         src_size=(60, 92),
+                                         dst_size=(64, 96), border=4,
+                                         num_points=32)
+            assert batch["image1"].shape == (1, 64, 96, 3)
+            # Remapped points stay inside the training frame.
+            assert float(batch["points"][..., 0].min()) >= 0.0
+            assert float(batch["points"][..., 0].max()) <= 96.0
+            state, metrics = step(state, batch)
+            assert np.isfinite(float(metrics["total"]))
+            assert float(metrics["grad_norm"]) > 0.0
+        assert int(state.step) == 2
