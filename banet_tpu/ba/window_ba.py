@@ -62,15 +62,18 @@ class WindowBlocks(NamedTuple):
 def frame_blocks(ref_feats: jnp.ndarray, tgt_feats_grad: jnp.ndarray,
                  rays: jnp.ndarray, init_depth: jnp.ndarray,
                  basis: jnp.ndarray, W: jnp.ndarray, R: jnp.ndarray,
-                 t: jnp.ndarray, intr: Intrinsics) -> WindowBlocks:
+                 t: jnp.ndarray, intr: Intrinsics,
+                 footprint=None) -> WindowBlocks:
     """Blocks for ONE frame (no leading frame axis; vmap/shard over it).
 
-    ref_feats (N, C); tgt_feats_grad (H, Wd, 3C); rays (N, 3);
+    ref_feats (N, C); tgt_feats_grad (H, Wd, 3C) — or the raw C map
+    with ``footprint="direct"`` (see ba/residuals.py); rays (N, 3);
     init_depth (N,); basis (N, K); W (K,); R (3,3); t (3,).
     """
     depth = init_depth + basis @ W
     wr = warp_residuals(ref_feats[None], tgt_feats_grad[None], rays[None],
-                        depth[None], R[None], t[None], intr)
+                        depth[None], R[None], t[None], intr,
+                        footprint=footprint)
     x, y, z = wr.x[0], wr.y[0], wr.z[0]
     G = wr.G[0]              # (N, C, 2)
     r = wr.residual[0]       # (N, C)
@@ -153,7 +156,8 @@ def schur_solve(blocks: WindowBlocks, lam: float,
 
 def window_ba_step(ref_feats, tgt_feats_grads, rays, init_depth, basis,
                    Rs, ts, W, intr: Intrinsics, lam, cfg: SolverConfig,
-                   lam_depth=None, damping_fn=None, frame_mask=None):
+                   lam_depth=None, damping_fn=None, frame_mask=None,
+                   footprint=None):
     """One joint GN step over all window frames + shared basis coeffs.
 
     Shapes (F = frames tracked against the keyframe):
@@ -170,7 +174,7 @@ def window_ba_step(ref_feats, tgt_feats_grads, rays, init_depth, basis,
     """
     blocks = jax.vmap(
         lambda tg, R, t: frame_blocks(ref_feats, tg, rays, init_depth,
-                                      basis, W, R, t, intr)
+                                      basis, W, R, t, intr, footprint)
     )(tgt_feats_grads, Rs, ts)
     n_valid = jnp.asarray(float(blocks.absr.shape[0]))
     if frame_mask is not None:
@@ -193,7 +197,7 @@ def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
                     intr: Intrinsics, cfg: SolverConfig,
                     num_iters: int = 5, lam: float = 1e-3,
                     lam_depth: float = None, Rs0=None, ts0=None,
-                    damping_fn=None, frame_mask=None):
+                    damping_fn=None, frame_mask=None, footprint=None):
     """Iterated window BA from (optionally) identity initialization."""
     F = tgt_feats_grads.shape[0]
     K = basis.shape[-1]
@@ -206,7 +210,8 @@ def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
         Rs, ts, W = carry
         Rs, ts, W, res = window_ba_step(
             ref_feats, tgt_feats_grads, rays, init_depth, basis, Rs, ts,
-            W, intr, lam, cfg, lam_depth, damping_fn, frame_mask)
+            W, intr, lam, cfg, lam_depth, damping_fn, frame_mask,
+            footprint)
         return (Rs, ts, W), res
 
     (Rs, ts, W), res_hist = jax.lax.scan(body, (Rs, ts, W), None,

@@ -109,6 +109,14 @@ def _cmd_pairs(args) -> int:
     cfg = default_config()
     tracker = TwoViewTracker.initialize(
         cfg, image_size=rgb0.shape[:2], num_points=args.num_points)
+    if args.checkpoint:
+        from banet_tpu.utils.checkpoint import optimistic_restore
+
+        merged, restored, skipped = optimistic_restore(
+            args.checkpoint, tracker.variables)
+        tracker.variables = merged
+        print(f"restored {len(restored)} vars, skipped {len(skipped)}",
+              file=sys.stderr)
 
     def make_pairs():
         starts = list(range(0, len(frames) - args.stride,
@@ -121,7 +129,8 @@ def _cmd_pairs(args) -> int:
                        R_gt=T[:3, :3], t_gt=T[:3, 3])
 
     results = evaluate_pairs(tracker, make_pairs(), seq.intrinsics,
-                             num_points=args.num_points)
+                             num_points=args.num_points,
+                             viz_dir=args.viz_dir)
     print(json.dumps(summarize(results), indent=2))
     return 0
 
@@ -189,6 +198,11 @@ def main(argv=None) -> int:
     pp.add_argument("--stride", type=int, default=5)
     pp.add_argument("--num-points", type=int, default=1024)
     pp.add_argument("--max-pairs", type=int, default=50)
+    pp.add_argument("--checkpoint", default=None,
+                    help="orbax checkpoint dir (optimistic restore)")
+    pp.add_argument("--viz-dir", default=None,
+                    help="save per-pair correspondence + warp-diff "
+                         "panels (PNG) here")
     pp.set_defaults(fn=_cmd_pairs)
 
     pt = sub.add_parser("train", help="train (synthetic data)")

@@ -74,6 +74,12 @@ class SolverConfig:
     #     Fastest end-to-end; gradients are the exact derivative of the
     #     bilinear interpolant the GN objective actually minimizes.
     sampler: str = "direct"
+    # Use the fused Pallas iteration kernel (ops/pallas_gn_tail.py) for
+    # the pose solve: one program per GN iteration instead of the ~20
+    # small XLA kernels of the scan path.  Requires sampler="direct";
+    # inference-only (the kernel is not differentiated), so the trainer
+    # ignores it.  Off by default until a TPU toolchain is present.
+    fused_tail: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -131,6 +131,41 @@ class BANet(nn.Module):
             intr_l.append(intr.scale(1.0 / scale))
         return ref_l, tgt_l, intr_l, fp_l
 
+    def _fused_pose_solve(self, ref_l, tgt_l, rays, point_depths, R0,
+                          t0, intr, levels):
+        """Pose pyramid via the fused Pallas iteration kernel
+        (cfg.solver.fused_tail; ops/pallas_gn_tail.py).  Returns the
+        same (R, t, aux) contract as solve_pose_pyramid with the aux
+        fields the kernel reports (keep_ratio, lam, accepted)."""
+        from banet_tpu.ba.camera_solver import PoseStepAux
+        from banet_tpu.ba.fused_level import solve_pose_pyramid_fused
+
+        params = self.variables["params"]
+        mlps = [params[f"damping_{lvl}"] for lvl in levels]
+        L = self.cfg.model.pyramid_levels
+        scales = [1.0 / 2 ** (L - 1 - lvl) for lvl in levels]
+        exp_base = self.cfg.model.damping_exponent_base
+        cfg_s = self.cfg.solver
+        renorm = cfg_s.renormalize_residual
+
+        def one(refs, tgts, rays1, depth1, R01, t01, fx, fy, cx, cy):
+            intr_l = [Intrinsics(fx * s, fy * s, cx * s, cy * s)
+                      for s in scales]
+            return solve_pose_pyramid_fused(
+                refs, tgts, rays1, depth1, R01, t01, intr_l, mlps,
+                cfg_s, renormalize_residual=renorm, exp_base=exp_base)
+
+        R, t, state = jax.vmap(one)(
+            tuple(ref_l), tuple(tgt_l), rays, point_depths, R0, t0,
+            intr.fx, intr.fy, intr.cx, intr.cy)
+        z = jnp.zeros_like(state[:, 0, 0])
+        aux = PoseStepAux(
+            accepted=state[:, 0, 4], dw=z, dt=z,
+            residual_before=state[:, 0, 0],
+            residual_after=state[:, 0, 0],
+            keep_ratio=state[:, 0, 5], lam=state[:, 0, 3])
+        return R, t, aux
+
     def _damping_fns(self, levels):
         fns = []
         for lvl in levels:
@@ -224,9 +259,15 @@ class BANet(nn.Module):
         stacks = [self._target_stack(feats_tgt[lvl]) for lvl in levels]
         tgt_l = [s for s, _ in stacks]
         fp_l = [fp for _, fp in stacks]
-        intr_l = [intr.scale(1.0 / 2 ** (L - 1 - lvl)) for lvl in levels]
         rays = backproject(points, intr,
                            normalized=self.cfg.geometry.normalized_rays)
+        if (self.cfg.solver.fused_tail and
+                self.cfg.solver.sampler == "direct" and
+                not self.is_initializing()):
+            return self._fused_pose_solve(ref_sampled, tgt_l, rays,
+                                          point_depths, R0, t0, intr,
+                                          levels)
+        intr_l = [intr.scale(1.0 / 2 ** (L - 1 - lvl)) for lvl in levels]
         return solve_pose_pyramid(
             ref_sampled, tgt_l, rays, point_depths, R0, t0, intr_l,
             self._damping_fns(levels), self.cfg.solver,
@@ -329,7 +370,7 @@ class BANet(nn.Module):
                                                             train)
         F = images_tgt.shape[0]
         feats_tgt = self.features(images_tgt, train)
-        tgt_fg = append_spatial_gradient(feats_tgt[level])  # (F,h,w,3C)
+        tgt_fg, win_fp = self._target_stack(feats_tgt[level])
 
         pts = points / scale
         ref_feats = bilinear_sample(feats_key[level], pts[..., 0],
@@ -351,7 +392,8 @@ class BANet(nn.Module):
             self.cfg.solver, num_iters=num_iters,
             lam=self.cfg.solver.bundle_damping_base,
             lam_depth=self.cfg.solver.bundle_damping_base,
-            damping_fn=damping, frame_mask=frame_mask)
+            damping_fn=damping, frame_mask=frame_mask,
+            footprint=win_fp)
         refined = depth_map_from_basis(depth_map, basis_map,
                                        W[None])[0, ..., 0]
         return dict(Rs=Rs, ts=ts, W=W, residual_history=res_hist,

