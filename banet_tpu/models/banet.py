@@ -399,6 +399,78 @@ class BANet(nn.Module):
         return dict(Rs=Rs, ts=ts, W=W, residual_history=res_hist,
                     refined_depth_map=refined)
 
+    def multi_window_bundle_adjust(self, images_key: jnp.ndarray,
+                                   images_tgt: jnp.ndarray,
+                                   intr: Intrinsics,
+                                   points: jnp.ndarray,
+                                   obs_mask: Optional[jnp.ndarray] = None,
+                                   Rs_k0: Optional[jnp.ndarray] = None,
+                                   ts_k0: Optional[jnp.ndarray] = None,
+                                   Rs_f0: Optional[jnp.ndarray] = None,
+                                   ts_f0: Optional[jnp.ndarray] = None,
+                                   num_iters: int = 5, level: int = 2,
+                                   train: bool = False):
+        """Joint BA over M keyframes (each with its own predicted depth
+        basis) and F target frames — the end-to-end form of
+        ba/multi_window_ba.py (BASELINE north star: "partitioning
+        keyframes and map blocks ... pose-graph consistency").
+
+        Args:
+          images_key: (M, H, W, 3); images_tgt: (F, H, W, 3);
+          intr: shape-(1,) Intrinsics; points: (M, N, 2) per-keyframe
+          pixel coords; obs_mask: optional (M, F); pose inits are
+          cam-from-window (window frame = keyframe 0; keyframe 0's pose
+          is the gauge and is pinned).
+        Returns dict(Rs_f, ts_f, Rs_k, ts_k, Ws (M, K),
+          residual_history).
+        """
+        from banet_tpu.ba.multi_window_ba import (MultiWindowProblem,
+                                                  solve_multi_window_ba)
+
+        M = images_key.shape[0]
+        F = images_tgt.shape[0]
+        L = self.cfg.model.pyramid_levels
+        scale = 2 ** (L - 1 - level)
+
+        layers_key = self.encoder(images_key, train)
+        feats_key = self.features_from_layers(layers_key, train)
+        depth_map, basis_map = self.depth_basis_from_layers(layers_key,
+                                                            train)
+        feats_tgt = self.features(images_tgt, train)
+        # pair_blocks consumes the 3C grad-stack layout.
+        tgt_stack = append_spatial_gradient(feats_tgt[level])
+
+        pts = points / scale
+        ref_feats = bilinear_sample(feats_key[level], pts[..., 0],
+                                    pts[..., 1])          # (M, N, C)
+        pts_half = points / 2.0
+        d0 = bilinear_sample(jax.lax.stop_gradient(depth_map),
+                             pts_half[..., 0], pts_half[..., 1])[..., 0]
+        d0 = jnp.maximum(d0, 0.01)                        # (M, N)
+        basis = bilinear_sample(basis_map, pts_half[..., 0],
+                                pts_half[..., 1])          # (M, N, K)
+        rays = backproject(
+            points, intr, normalized=self.cfg.geometry.normalized_rays)
+
+        if obs_mask is None:
+            obs_mask = jnp.ones((M, F))
+        prob = MultiWindowProblem(
+            ref_feats=ref_feats, rays=rays, init_depth=d0, basis=basis,
+            tgt_fg=tgt_stack, obs_mask=obs_mask)
+
+        damping = self.damping_nets[level]
+        if self.is_initializing():
+            damping(jnp.zeros((1, self.cfg.model.pyramid_channels)))
+        Rs_f, ts_f, Rs_k, ts_k, Ws, hist = solve_multi_window_ba(
+            prob, intr.scale(1.0 / scale), self.cfg.solver,
+            num_iters=num_iters,
+            lam=self.cfg.solver.bundle_damping_base,
+            lam_depth=self.cfg.solver.bundle_damping_base,
+            Rs_f0=Rs_f0, ts_f0=ts_f0, Rs_k0=Rs_k0, ts_k0=ts_k0,
+            damping_fn=damping)
+        return dict(Rs_f=Rs_f, ts_f=ts_f, Rs_k=Rs_k, ts_k=ts_k, Ws=Ws,
+                    residual_history=hist)
+
     def __call__(self, image_ref, image_tgt, intr, points, train=False):
         """Init/forward path touching every submodule (all pyramid-level
         damping nets and the decoder), so ``module.init`` creates the

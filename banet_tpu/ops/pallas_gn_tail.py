@@ -15,16 +15,26 @@ gather engine already does at bandwidth) outside.
 Mosaic-safety rules used throughout (this is what makes the kernel
 compile where the round-1 attempt did not):
 - no DMA at all: every operand is a whole VMEM block;
-- no arbitrary sub-tile slicing: scalars come out of small blocks via
-  constant-selector matmuls (e_i^T A e_j) and masked reductions, row
-  rearrangement via constant permutation matmuls;
+- constants built in-kernel from iotas (captured arrays are rejected);
+- scalar-to-matrix broadcasts via matmul chains ((1,1)->(8,8) direct
+  broadcast is "Not implemented" in Mosaic);
 - all control flow is (1, 1)-shaped selects;
 - the damped solve is a fully vectorized Gauss-Jordan on the padded
   (8, 16) augmented system (unit pivots on the two padding rows);
 - the SE(3) exponential builds [w]x from three constant basis matrices
   scaled by (1, 1) scalars;
-- the big contraction AtA = M^T M runs on the MXU with
-  M = gx (x) Ju + gy (x) Jv reshaped to (N*C, 8).
+- the C axis is contracted into per-point 2x2 Gram components BEFORE
+  touching the 8-lane Jacobians (an (N*C, 8) intermediate lane-pads
+  8 -> 128 and overflows VMEM).
+
+MEASURED (v5e, N=1024, C=128, 128x160 level): compiles and runs with
+parity 5e-6 vs the scan solver; 49 us/iteration vs the XLA scan path's
+26 us — the kernel is currently MXU-latency-bound on its ~25 small
+dots, so it is kept OFF by default (`SolverConfig.fused_tail`); the
+shipped headline path is the XLA direct-sampler solve.  The kernel
+remains the mandated CUDA-op replacement demonstrated end-to-end on
+hardware, and the starting point for a multi-iteration-in-kernel
+variant (grid-carried state) that would amortize its fixed cost.
 
 State layout (carried across iterations by the caller):
 - pose block (8, 8): rows 0:3 = the current PROPOSAL [R | t] (whose
@@ -124,9 +134,9 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
         return dotf(dotf(ones81, scalar), ones18)
 
     pwv = pw[:]                                       # (N, 8)
-    wx = dotf(pwv, K["e8"][0])                        # (N, 1)
-    wy = dotf(pwv, K["e8"][1])
-    m = dotf(pwv, K["e8"][2])
+    wx = pwv[:, 0:1]                                  # (N, 1)
+    wy = pwv[:, 1:2]
+    m = pwv[:, 2:3]
 
     # ---- blend taps; residual + interpolant gradients ----
     a00, a01, a10, a11 = v00[:], v01[:], v10[:], v11[:]
@@ -159,8 +169,9 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     # Contract the C axis first into the per-point 2x2 Gram components
     # (an (N*C, 8) "M" layout would lane-pad 8 -> 128 and blow VMEM):
     # AtA = sum_n a JuJu^T + b (JuJv^T + JvJu^T) + c JvJv^T.
-    Ju = dotf(juv[:], K["S_Ju"])                       # (N, 8)
-    Jv = dotf(juv[:], K["S_Jv"])
+    juvv = juv[:]
+    Ju = juvv[:, 0:8]                                  # (N, 8)
+    Jv = juvv[:, 8:16]
     a_g = jnp.sum(gx * gx, axis=1, keepdims=True)      # (N, 1)
     b_g = jnp.sum(gx * gy, axis=1, keepdims=True)
     c_g = jnp.sum(gy * gy, axis=1, keepdims=True)
@@ -183,20 +194,18 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     rows16 = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 0)
     for k in range(6):
         is_k = (rows16 == k).astype(f32)               # (8, 16)
-        ek8 = K["e8"][k]                               # (8, 1)
-        ek16 = K["e16"][k]                             # (16, 1)
-        pivot = dotf(dotf(ek8.T, aug), ek16)           # (1, 1)
-        row_k = dotf(ek8.T, aug) / pivot               # (1, 16)
-        col_k = dotf(aug, ek16)                        # (8, 1)
+        pivot = aug[k:k + 1, k:k + 1]                  # (1, 1)
+        row_k = aug[k:k + 1, :] / pivot                # (1, 16)
+        col_k = aug[:, k:k + 1]                        # (8, 1)
         elim = aug - col_k * row_k
         aug = elim * (1 - is_k) + row_k * is_k
-    delta = dotf(aug, K["e16"][8])                     # (8, 1); rows 6,7=0
+    delta = aug[:, 8:9]                                # (8, 1); rows 6,7=0
 
     # ---- accept / reject on the carried state ----
     st = state_in[:]                                   # (1, 8)
-    res_cur = dotf(st, K["e8"][0])                     # (1, 1)
-    done = dotf(st, K["e8"][1])
-    first = dotf(st, K["e8"][2])
+    res_cur = st[:, 0:1]                               # (1, 1)
+    done = st[:, 1:2]
+    first = st[:, 2:3]
     if reject:
         accept = (res < residual_ratio * res_cur).astype(f32)
         accept = jnp.maximum(accept, first)
@@ -216,9 +225,9 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     new_cur = take88 * prop + (1.0 - take88) * cur     # accepted pose
 
     # ---- SE(3) update from the accepted pose ----
-    w0 = dotf(K["e8"][0].T, delta)                     # (1, 1)
-    w1s = dotf(K["e8"][1].T, delta)
-    w2s = dotf(K["e8"][2].T, delta)
+    w0 = delta[0:1, :]                                 # (1, 1)
+    w1s = delta[1:2, :]
+    w2s = delta[2:3, :]
     E = K["E"]
     Wm = (E[0] * b88(w0) + E[1] * b88(w1s) +
           E[2] * b88(w2s))                             # (8, 8)
@@ -241,16 +250,16 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     V = eye8 + s2_88 * Wm + s3_88 * W2
     u8 = dotf(K["P_u"], delta)                         # (8, 1), rows 0:3
     R_part = new_cur * K["Rcols"]
-    t_part = dotf(new_cur, K["e8"][3])                 # (8, 1)
+    t_part = new_cur[:, 3:4]                           # (8, 1)
     R_new = dotf(dR, R_part)
     t_new = dotf(V, u8) + dotf(dR, t_part)
     stepped = R_new * K["Rcols"] + t_new * K["col3"]
 
     if early_term:
         # u8 rows 0:3 hold the translation update.
-        du0 = dotf(K["e8"][0].T, u8)
-        du1 = dotf(K["e8"][1].T, u8)
-        du2 = dotf(K["e8"][2].T, u8)
+        du0 = u8[0:1, :]
+        du1 = u8[1:2, :]
+        du2 = u8[2:3, :]
         dt_n = jnp.sqrt(du0 * du0 + du1 * du1 + du2 * du2)
         conv = ((theta < angle_change) &
                 (dt_n < translation_change)).astype(f32)

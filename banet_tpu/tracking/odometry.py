@@ -51,6 +51,14 @@ class OdometryRunner:
     retires, the frames tracked against it are jointly re-solved with
     the network's depth basis and the refined relative poses replace
     the two-view estimates in the trajectory.
+
+    ``window_ba_mode="multi"`` additionally couples the PREVIOUS
+    keyframe into the solve (ba/multi_window_ba.py): the retiring
+    keyframe's pose becomes a variable anchored to the previous
+    keyframe (the gauge), its window frames observe both keyframes'
+    point sets, and the refined keyframe-chain link replaces the
+    two-view estimate — pose-graph consistency across adjacent
+    keyframe windows.
     """
 
     def __init__(self, tracker: TwoViewTracker,
@@ -60,7 +68,8 @@ class OdometryRunner:
                  seed: int = 0,
                  window_ba: bool = False,
                  window_max_frames: int = 4,
-                 window_iters: int = 3):
+                 window_iters: int = 3,
+                 window_ba_mode: str = "single"):
         self.tracker = tracker
         self.kf = keyframe_cfg or KeyframeConfig()
         self.num_points = num_points
@@ -69,6 +78,7 @@ class OdometryRunner:
         self.window_ba = window_ba
         self.window_max_frames = window_max_frames
         self.window_iters = window_iters
+        self.window_ba_mode = window_ba_mode
         if window_ba:
             import jax
 
@@ -86,6 +96,21 @@ class OdometryRunner:
 
             self._refine = jax.jit(_refine)
 
+            def _refine_multi(variables, imgs_key, imgs_tgt, k, pts,
+                              obs_mask, Rk0, tk0, Rf0, tf0):
+                from banet_tpu.geometry.camera import Intrinsics
+
+                intr = Intrinsics.from_array(k)
+                out = model.apply(
+                    variables, imgs_key, imgs_tgt, intr, pts,
+                    obs_mask=obs_mask, Rs_k0=Rk0, ts_k0=tk0,
+                    Rs_f0=Rf0, ts_f0=tf0,
+                    num_iters=self.window_iters,
+                    method=model.multi_window_bundle_adjust)
+                return out["Rs_f"], out["ts_f"], out["Rs_k"], out["ts_k"]
+
+            self._refine_multi = jax.jit(_refine_multi)
+
     def run(self, frames: Iterable[Tuple[float, np.ndarray, np.ndarray]],
             intrinsics: np.ndarray) -> Tuple[Trajectory, OdometryStats]:
         """frames: iterable of (timestamp, rgb (H,W,3), depth (H,W)).
@@ -101,6 +126,9 @@ class OdometryRunner:
         key_pts = key_depths = None
         key_time = 0.0
         key_pose_cw = np.eye(4)
+        key_traj_idx = 0
+        # Previous keyframe (multi-keyframe window mode couples it in).
+        prev_kf = None  # dict(img, pts, pose_cw, traj_idx)
         initR = np.eye(3, dtype=np.float32)[None]
         initT = np.zeros((1, 3), np.float32)
         # (trajectory index, image) of frames tracked vs the keyframe.
@@ -126,6 +154,50 @@ class OdometryRunner:
                                 self.window_max_frames - n_valid, axis=0)
                 imgs = np.concatenate([imgs, pad], axis=0)
             k = np.asarray(intrinsics, np.float32).reshape(1, 4)
+            if self.window_ba_mode == "multi" and prev_kf is not None:
+                # Window origin = previous keyframe; the retiring
+                # keyframe's pose is variable (chain-link refinement).
+                origin = prev_kf["pose_cw"]
+                origin_inv = np.linalg.inv(origin)
+                imgs_key = np.stack([prev_kf["img"].astype(np.float32),
+                                     key_img.astype(np.float32)])
+                pts2 = np.concatenate([prev_kf["pts"], key_pts], axis=0)
+                T_key = (key_pose_cw @ origin_inv).astype(np.float32)
+                Rk0 = np.stack([np.eye(3, dtype=np.float32),
+                                T_key[:3, :3]])
+                tk0 = np.stack([np.zeros(3, np.float32), T_key[:3, 3]])
+                Rf0, tf0 = [], []
+                for ti, _img in frames_w:
+                    Tf = (poses_cw[ti] @ origin_inv).astype(np.float32)
+                    Rf0.append(Tf[:3, :3])
+                    tf0.append(Tf[:3, 3])
+                while len(Rf0) < self.window_max_frames:
+                    Rf0.append(Rf0[-1])
+                    tf0.append(tf0[-1])
+                obs = np.ones((2, self.window_max_frames),
+                              np.float32) * fmask[None, :]
+                Rs_f, ts_f, Rs_k, ts_k = self._refine_multi(
+                    self.tracker.variables, imgs_key, imgs, k, pts2,
+                    obs, Rk0, tk0, np.stack(Rf0), np.stack(tf0))
+                Rs, ts = np.asarray(Rs_f), np.asarray(ts_f)
+                stats.window_refinements += 1
+                last_pose = None
+                for fi, (ti, _img) in enumerate(frames_w):
+                    rel = np.eye(4)
+                    rel[:3, :3] = Rs[fi]
+                    rel[:3, 3] = ts[fi]
+                    refined = rel @ origin
+                    poses_cw[ti] = refined
+                    last_pose = refined
+                # Refined keyframe-chain link updates the retiring
+                # keyframe's own trajectory entry.
+                Rk = np.asarray(Rs_k)
+                tk = np.asarray(ts_k)
+                link = np.eye(4)
+                link[:3, :3] = Rk[1]
+                link[:3, 3] = tk[1]
+                poses_cw[key_traj_idx] = link @ origin
+                return last_pose
             Rs, ts = self._refine(self.tracker.variables,
                                   key_img.astype(np.float32), imgs, k,
                                   key_pts, fmask)
@@ -179,6 +251,10 @@ class OdometryRunner:
                 stats.num_keyframes += 1
                 stats.rejected_ratio_rekeys += int(rekey_ratio)
                 stats.time_gap_rekeys += int(rekey_time and not rekey_ratio)
+                prev_kf = dict(img=key_img, pts=key_pts,
+                               pose_cw=poses_cw[key_traj_idx].copy(),
+                               traj_idx=key_traj_idx)
+                key_traj_idx = len(poses_cw) - 1
                 key_img = rgb
                 key_pts, key_depths = select_points(
                     rgb, depth, self.num_points, self.texture_threshold,
