@@ -43,6 +43,11 @@ def _cmd_odometry(args) -> int:
     rgb0 = f0.load_rgb()
     H, W = rgb0.shape[:2]
     cfg = default_config()
+    if args.iters:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
+            cfg.solver, level_iters=tuple(args.iters)))
     tracker = TwoViewTracker.initialize(cfg, image_size=(H, W),
                                         num_points=args.num_points)
     if args.checkpoint:
@@ -53,8 +58,32 @@ def _cmd_odometry(args) -> int:
         tracker.variables = merged
         print(f"restored {len(restored)} vars, skipped {len(skipped)}",
               file=sys.stderr)
+    tnet = tnet_vars = None
+    if args.tnet_checkpoint:
+        import jax
+        import jax.numpy as jnp
+
+        from banet_tpu.geometry.camera import Intrinsics
+        from banet_tpu.models.tracking_net import TrackingNet
+        from banet_tpu.utils.checkpoint import restore_checkpoint
+
+        th, tw = args.tnet_size
+        tnet = TrackingNet(levels=3, num_samples=args.tnet_samples,
+                           normalized_rays=False)
+        img = jnp.zeros((1, th, tw, 3))
+        dep = jnp.ones((1, th, tw))
+        intr = Intrinsics(jnp.array([tw * 0.8]), jnp.array([tw * 0.8]),
+                          jnp.array([tw / 2.0]), jnp.array([th / 2.0]))
+        tmpl = tnet.init(jax.random.PRNGKey(0), img, dep, img,
+                         intr)["params"]
+        tnet_vars = {"params": restore_checkpoint(
+            args.tnet_checkpoint, tmpl)}
+        print(f"restored TrackingNet init from {args.tnet_checkpoint}",
+              file=sys.stderr)
     runner = OdometryRunner(tracker, num_points=args.num_points,
-                            window_ba=args.window_ba)
+                            window_ba=args.window_ba,
+                            tnet=tnet, tnet_variables=tnet_vars,
+                            tnet_size=tuple(args.tnet_size))
     frames = ((f.timestamp, f.load_rgb(), f.load_depth())
               for f in seq.frames[:args.max_frames])
     traj, stats = runner.run(frames, seq.intrinsics)
@@ -107,6 +136,11 @@ def _cmd_pairs(args) -> int:
         return 1
     rgb0 = frames[0].load_rgb()
     cfg = default_config()
+    if args.iters:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
+            cfg.solver, level_iters=tuple(args.iters)))
     tracker = TwoViewTracker.initialize(
         cfg, image_size=rgb0.shape[:2], num_points=args.num_points)
     if args.checkpoint:
@@ -178,6 +212,16 @@ def main(argv=None) -> int:
     po.add_argument("--checkpoint", default=None)
     po.add_argument("--format", choices=["tum", "scannet"],
                     default="tum")
+    po.add_argument("--iters", type=int, nargs="+", default=None,
+                    help="per-level GN iteration caps (early exit "
+                         "makes extra iterations cheap; the reference "
+                         "evaluates at 10 per level, legacy/eval.py:151)")
+    po.add_argument("--tnet-checkpoint", default=None,
+                    help="TrackingNet params checkpoint: hybrid "
+                         "odometry (regression init -> GN refine)")
+    po.add_argument("--tnet-size", type=int, nargs=2, default=(64, 96),
+                    help="resolution the TrackingNet was trained at")
+    po.add_argument("--tnet-samples", type=int, default=16)
     po.add_argument("--window-ba", action="store_true",
                     help="refine each keyframe window with the joint "
                     "Schur-complement BA")
@@ -198,6 +242,8 @@ def main(argv=None) -> int:
     pp.add_argument("--stride", type=int, default=5)
     pp.add_argument("--num-points", type=int, default=1024)
     pp.add_argument("--max-pairs", type=int, default=50)
+    pp.add_argument("--iters", type=int, nargs="+", default=None,
+                    help="per-level GN iteration caps")
     pp.add_argument("--checkpoint", default=None,
                     help="orbax checkpoint dir (optimistic restore)")
     pp.add_argument("--viz-dir", default=None,

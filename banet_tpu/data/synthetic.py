@@ -272,6 +272,12 @@ def write_rendered_sequence(seq_dir: str, num_frames: int = 30,
         with open(os.path.join(seq_dir, name), "w") as f:
             f.write("# rendered plane-scene sequence\n" +
                     "\n".join(lines) + "\n")
+    # Record the renderer's TRUE calibration; without this the loader
+    # falls back to the freiburg guess (fx 535 vs the true 0.9*W) and
+    # every consumer solves with wrong projective geometry.
+    with open(os.path.join(seq_dir, "intrinsics.txt"), "w") as f:
+        f.write(f"{0.9 * W:.6f} {0.9 * W:.6f} {W / 2.0:.6f} "
+                f"{H / 2.0:.6f}\n")
     return TumSequence(seq_dir)
 
 

@@ -37,7 +37,17 @@ DEPTH_SCALE = 5000.0
 
 
 def intrinsics_for_sequence(path_or_name: str) -> np.ndarray:
-    """[fx, fy, cx, cy] guessed from the sequence name."""
+    """[fx, fy, cx, cy]: an ``intrinsics.txt`` in the sequence directory
+    (one line, 4 floats — written by our synthetic renderer and usable
+    for calibrated rigs) wins; otherwise guessed from the freiburg
+    sequence name (the benchmark's own convention — real TUM dirs carry
+    no calibration file, reference rgbd_sequence.py:16-21)."""
+    cal = os.path.join(path_or_name, "intrinsics.txt")
+    if os.path.isdir(path_or_name) and os.path.exists(cal):
+        with open(cal) as f:
+            vals = [float(v) for v in f.read().split()[:4]]
+        if len(vals) == 4:
+            return np.asarray(vals, np.float32)
     name = os.path.basename(os.path.normpath(path_or_name)).lower()
     for key, vals in TUM_INTRINSICS.items():
         if key in name:

@@ -56,6 +56,8 @@ class BANet(nn.Module):
         self.fpn = FeaturePyramid(levels=mc.pyramid_levels,
                                   features=mc.pyramid_channels,
                                   convs_per_level=mc.pyramid_convs_per_level,
+                                  agg_features=mc.pyramid_agg_channels,
+                                  finest_convs=mc.pyramid_finest_convs,
                                   dtype=dtype)
         self.dla = DLA(normalize_basis=mc.basis_normalized, dtype=dtype)
         self.damping_nets = [

@@ -37,9 +37,24 @@ from banet_tpu.ops.upsample import upsample2x_bilinear
 
 
 class FeaturePyramid(nn.Module):
+    """``agg_features``/``finest_convs`` are the TPU-first knobs: the
+    faithful structure (None/None) 1x1-aggregates at the CONCAT width
+    (144 at the finest level — pads 144 -> 256 on the MXU's 128-lane
+    contraction) and runs ``convs_per_level`` 3x3 convs at EVERY level
+    including full resolution, where one 144->128 3x3 conv at 256x320
+    costs 27 GFLOPs — half the entire tracking frame's FLOP budget.
+    Setting ``agg_features=128`` aligns every matmul to the MXU tile
+    and ``finest_convs=0`` merges the full-res level with the 1x1
+    aggregation only (the upsampled path provides context, the stem
+    skip provides full-res detail; the fixed bilinear upsampler is
+    smooth, so no de-aliasing conv is needed) — 44 -> 12 GFLOPs for
+    the pyramid at identical level count/scales/output channels."""
+
     levels: int = 4
     features: int = 128
     convs_per_level: int = 1
+    agg_features: int | None = None   # None -> concat width (faithful)
+    finest_convs: int | None = None   # None -> convs_per_level
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -58,11 +73,21 @@ class FeaturePyramid(nn.Module):
         for lvl, skip in enumerate(skips):
             x = upsample2x_bilinear(x)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = ConvBN(x.shape[-1], kernel=1, act=nn.relu, dtype=self.dtype,
+            agg_ch = self.agg_features or x.shape[-1]
+            x = ConvBN(agg_ch, kernel=1, act=nn.relu, dtype=self.dtype,
                        name=f"agg_{lvl}")(x, train)
-            for c in range(self.convs_per_level):
+            n_convs = self.convs_per_level
+            if lvl == self.levels - 1 and self.finest_convs is not None:
+                n_convs = self.finest_convs
+            for c in range(n_convs):
                 x = ConvBN(self.features, kernel=3, act=nn.selu,
                            dtype=self.dtype,
                            name=f"conv_{lvl}_{c}")(x, train)
+            if x.shape[-1] != self.features:
+                # finest_convs=0 with agg width != features: keep the
+                # contract that every output level has ``features`` ch.
+                x = ConvBN(self.features, kernel=1, act=nn.selu,
+                           dtype=self.dtype,
+                           name=f"proj_{lvl}")(x, train)
             outs.append(x)
         return outs

@@ -41,31 +41,69 @@ from banet_tpu.ops.render import forward_warp_render
 _DEPTH_HYPOTHESES = (0.8, 1.0, 1.2)
 
 
+def local_correlation(fa: jnp.ndarray, fb: jnp.ndarray,
+                      radius: int = 4) -> jnp.ndarray:
+    """All-pairs local cost volume: mean-over-channel dot product of
+    ``fa`` at (x, y) with ``fb`` at (x+dx, y+dy), |dx|,|dy| <= radius.
+
+    Returns (B, H, W, (2r+1)^2).  TPU-first formulation: (2r+1)^2
+    static pad-and-slice shifts with a VPU multiply-reduce each — no
+    gather, no dynamic shapes, fuses into one elementwise chain under
+    XLA.  This is the explicit matching signal a plain conv stack
+    cannot cheaply represent (a first conv layer is ADDITIVE in its
+    inputs; correspondence is a PRODUCT of the two images — the reason
+    FlowNetC-style correlation exists).
+    """
+    B, H, W, C = fa.shape
+    r = radius
+    fbp = jnp.pad(fb, ((0, 0), (r, r), (r, r), (0, 0)))
+    rows = []
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            shifted = jax.lax.dynamic_slice(
+                fbp, (0, dy, dx, 0), (B, H, W, C))
+            rows.append(jnp.mean(fa * shifted, axis=-1))
+    return jnp.stack(rows, axis=-1)
+
+
 class FlowBlock(nn.Module):
-    """Small conv encoder-decoder predicting (flow_x, flow_y, conf)."""
+    """Correlation-based flow block predicting (flow_x, flow_y, conf).
+
+    Siamese conv features on the render and the current image, an
+    explicit local cost volume between them (``local_correlation``),
+    then a conv decoder over [cost volume, render features, context].
+    Mirrors the capability of the reference's flow block (deeptam
+    blocks.py:312-390) with the matching signal made explicit so it
+    trains in thousands, not millions, of steps.
+    """
 
     base: int = 32
+    radius: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, render, current, extra, train: bool = False):
+        """render/current: (B, H, W, 3); extra: (B, H, W, E) context
+        (depth hypotheses renders, masks, ...)."""
         conv = lambda f, k, s: nn.Conv(  # noqa: E731
             f, (k, k), strides=(s, s), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.he_normal())
-        e1 = nn.leaky_relu(conv(self.base, 5, 2)(x))
-        e2 = nn.leaky_relu(conv(self.base * 2, 3, 2)(e1))
-        e3 = nn.leaky_relu(conv(self.base * 4, 3, 2)(e2))
-        d2 = jax.image.resize(e3, e2.shape[:1] + e2.shape[1:3] +
-                              e3.shape[-1:], "bilinear")
-        d2 = nn.leaky_relu(conv(self.base * 2, 3, 1)(
-            jnp.concatenate([d2, e2], -1)))
-        d1 = jax.image.resize(d2, e1.shape[:1] + e1.shape[1:3] +
-                              d2.shape[-1:], "bilinear")
-        d1 = nn.leaky_relu(conv(self.base, 3, 1)(
-            jnp.concatenate([d1, e1], -1)))
-        d0 = jax.image.resize(d1, x.shape[:1] + x.shape[1:3] +
-                              d1.shape[-1:], "bilinear")
-        out = conv(3, 3, 1)(d0)
+        siam = nn.Sequential([
+            conv(self.base, 3, 1), nn.leaky_relu,
+            conv(self.base, 3, 2), nn.leaky_relu,
+            conv(self.base * 2, 3, 1)])
+        fr = siam(render)
+        fc = siam(current)
+        corr = nn.leaky_relu(
+            local_correlation(fr, fc, self.radius))      # (B,H/2,W/2,81)
+        ctx = nn.leaky_relu(conv(self.base, 3, 2)(
+            jnp.concatenate([render, current, extra], -1)))
+        h = jnp.concatenate([corr, fr, ctx], axis=-1)
+        h = nn.leaky_relu(conv(self.base * 2, 3, 1)(h))
+        h = nn.leaky_relu(conv(self.base * 2, 3, 1)(h))
+        half = conv(3, 3, 1)(h)                          # (B,H/2,W/2,3)
+        B, Hh, Wh, _ = half.shape
+        out = jax.image.resize(half, (B, Hh * 2, Wh * 2, 3), "bilinear")
         return out  # (B, H, W, 3): flow_x, flow_y, confidence logit
 
 
@@ -84,7 +122,11 @@ class MotionBlock(nn.Module):
         h = nn.leaky_relu(conv(self.base, 5, 2)(x))
         h = nn.leaky_relu(conv(self.base * 2, 3, 2)(h))
         h = nn.leaky_relu(conv(self.base * 4, 3, 2)(h))
-        h = jnp.mean(h, axis=(1, 2))  # global average pool
+        # Flatten the spatial grid (reference blocks.py:91-197 runs its
+        # FC stack over the full spatial feature map).  Global average
+        # pooling here is a trap: the mean flow of a roll rotation is
+        # exactly zero, so a pooled representation cannot regress it.
+        h = h.reshape(h.shape[0], -1)
         h = nn.leaky_relu(nn.Dense(128, dtype=self.dtype)(h))
         # Small init so the untrained network predicts ~zero motion
         # (the reference scales its increments similarly).
@@ -99,6 +141,7 @@ class TrackingResult(NamedTuple):
     t: jnp.ndarray              # (B, 3)
     motion_samples: List[jnp.ndarray]  # per level (B, S, 6)
     motion_std: jnp.ndarray     # (B, 6) spread at the finest level
+    motion_cov: jnp.ndarray     # (B, 6, 6) sample covariance, finest
     flows: List[jnp.ndarray]    # per level (B, h, w, 3)
 
 
@@ -138,15 +181,19 @@ class TrackingNet(nn.Module):
             intr_l = intr.scale(1.0 / scale)
 
             renders = []
+            render_1x = None
             for ds in _DEPTH_HYPOTHESES:
                 wi, wd, m = forward_warp_render(
                     ki, kd, R, t, intr_l, depth_scale=ds,
                     normalized_rays=self.normalized_rays)
+                if ds == 1.0:
+                    render_1x = wi
                 renders.extend([wi, wd[..., None], m[..., None]])
             stack = jnp.concatenate(renders + [ci], axis=-1)
 
             flow = FlowBlock(dtype=self.dtype,
-                             name=f"flow_{lvl}")(stack, train)
+                             name=f"flow_{lvl}")(render_1x, ci, stack,
+                                                 train)
             flows.append(flow)
             minput = jnp.concatenate([stack, flow], axis=-1)
             samples = MotionBlock(num_samples=self.num_samples,
@@ -155,7 +202,13 @@ class TrackingNet(nn.Module):
             samples_hist.append(samples)
             delta = jnp.mean(samples, axis=1)  # (B, 6)
             std = jnp.std(samples, axis=1)
+            # Full sample covariance — parity with the reference's
+            # mean+Sigma prediction (deeptam blocks.py:91-197 regresses
+            # a motion distribution, not a point estimate).
+            c = samples - delta[:, None, :]
+            cov = jnp.einsum("bsi,bsj->bij", c, c) / samples.shape[1]
             R, t = se3_update(R, t, delta)
 
         return TrackingResult(R=R, t=t, motion_samples=samples_hist,
-                              motion_std=std, flows=flows)
+                              motion_std=std, motion_cov=cov,
+                              flows=flows)

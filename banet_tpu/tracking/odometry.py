@@ -69,7 +69,19 @@ class OdometryRunner:
                  window_ba: bool = False,
                  window_max_frames: int = 4,
                  window_iters: int = 3,
-                 window_ba_mode: str = "single"):
+                 window_ba_mode: str = "single",
+                 tnet=None, tnet_variables=None,
+                 tnet_size: Tuple[int, int] = (64, 96)):
+        """``tnet``/``tnet_variables``: optional TrackingNet regressor
+        (models/tracking_net.py).  When given, every frame's GN solve is
+        initialized from the regressor's cascade REFINEMENT of the warm
+        start (hybrid odometry): the net renders the keyframe at the
+        warm-start pose and predicts the correction, converting
+        fast-motion local-minimum failures of the feature-metric solver
+        into convergent tracks.  Inputs are resized to ``tnet_size``
+        (the net's MotionBlock flattens its spatial grid, so weights are
+        resolution-specific); the pose is resolution-independent.
+        """
         self.tracker = tracker
         self.kf = keyframe_cfg or KeyframeConfig()
         self.num_points = num_points
@@ -79,6 +91,33 @@ class OdometryRunner:
         self.window_max_frames = window_max_frames
         self.window_iters = window_iters
         self.window_ba_mode = window_ba_mode
+        self.tnet = tnet
+        self.tnet_variables = tnet_variables
+        self.tnet_size = tnet_size
+        if tnet is not None:
+            import jax
+            import jax.numpy as jnp
+
+            from banet_tpu.geometry.camera import Intrinsics
+
+            th, tw = tnet_size
+
+            def _tnet_init(variables, key_img, key_depth, cur_img, k,
+                           R0, t0):
+                H, W = key_img.shape[1:3]
+                sx, sy = tw / W, th / H
+                ki = jax.image.resize(key_img, (1, th, tw, 3),
+                                      "bilinear")
+                ci = jax.image.resize(cur_img, (1, th, tw, 3),
+                                      "bilinear")
+                kd = jax.image.resize(key_depth, (1, th, tw), "bilinear")
+                intr = Intrinsics(k[:, 0] * sx, k[:, 1] * sy,
+                                  k[:, 2] * sx, k[:, 3] * sy)
+                out = self.tnet.apply(variables, ki, kd, ci, intr,
+                                      R0=R0, t0=t0)
+                return out.R, out.t
+
+            self._tnet_init = jax.jit(_tnet_init)
         if window_ba:
             import jax
 
@@ -124,6 +163,8 @@ class OdometryRunner:
 
         key_img = None
         key_pts = key_depths = None
+        key_depth_map = None
+        intr_arr = np.asarray(intrinsics, np.float32).reshape(-1, 4)
         key_time = 0.0
         key_pose_cw = np.eye(4)
         key_traj_idx = 0
@@ -222,6 +263,7 @@ class OdometryRunner:
                     rng=self.rng)
                 self.tracker.set_keyframe(rgb, intrinsics, key_pts,
                                           key_depths)
+                key_depth_map = depth
                 key_time = ts
                 stats.num_keyframes += 1
                 stamps.append(ts)
@@ -231,6 +273,15 @@ class OdometryRunner:
 
             # Steady-state path: keyframe features are cached; only the
             # new frame's pyramid is computed.
+            if self.tnet is not None:
+                Ri, ti = self._tnet_init(
+                    self.tnet_variables,
+                    np.asarray(key_img, np.float32)[None],
+                    np.asarray(key_depth_map, np.float32)[None],
+                    np.asarray(rgb, np.float32)[None],
+                    intr_arr, initR, initT)
+                initR = np.asarray(Ri, np.float32)
+                initT = np.asarray(ti, np.float32)
             R, t, keep = self.tracker.track_frame(rgb, initR, initT)
             rel = np.eye(4)
             rel[:3, :3] = R[0]
@@ -261,6 +312,7 @@ class OdometryRunner:
                     rng=self.rng)
                 self.tracker.set_keyframe(rgb, intrinsics, key_pts,
                                           key_depths)
+                key_depth_map = depth
                 key_time = ts
                 key_pose_cw = pose_cw
                 initR = np.eye(3, dtype=np.float32)[None]

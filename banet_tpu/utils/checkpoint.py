@@ -25,15 +25,30 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
+    # device_get first: arrays saved straight off an accelerator embed
+    # that device's sharding in the checkpoint, and a restore on a
+    # different platform (train on TPU -> evaluate on CPU) then fails
+    # with "Device ... not found in jax.local_devices()".
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, tree, force=True)
+        ckptr.save(path, jax.device_get(tree), force=True)
+
+
+def _restore_numpy(path: str) -> Any:
+    """Restore a checkpoint with every leaf forced to np.ndarray,
+    ignoring whatever device sharding it was saved with."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckptr.restore(path, restore_args=restore_args)
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
-    path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, template)
+    saved = _restore_numpy(os.path.abspath(path))
+    return jax.tree.map(
+        lambda t, s: jax.numpy.asarray(
+            s, dtype=np.asarray(t).dtype), template, saved)
 
 
 def _flatten_with_paths(tree):
@@ -49,9 +64,9 @@ def optimistic_restore(path: str, template: Any) -> Tuple[Any, list, list]:
     a variable is restored iff it exists in the checkpoint with the
     same shape and dtype-compatible contents.
     """
-    # Restore into an unchecked raw tree first.
-    with ocp.PyTreeCheckpointer() as ckptr:
-        saved = ckptr.restore(os.path.abspath(path))
+    # Restore into an unchecked raw tree first (numpy-forced, so a
+    # checkpoint written on another platform restores fine).
+    saved = _restore_numpy(os.path.abspath(path))
     saved_flat = _flatten_with_paths(saved)
 
     restored, skipped = [], []

@@ -36,6 +36,15 @@ def main():
     ap.add_argument("--pairs-per-offset", type=int, default=8)
     ap.add_argument("--offsets-deg", type=float, nargs="+",
                     default=[2.0, 5.0, 10.0, 15.0, 20.0])
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--rot-mag", type=float, default=0.12)
+    ap.add_argument("--trans-mag", type=float, default=0.05)
+    ap.add_argument("--train-only", action="store_true",
+                    help="diagnostic: train + save ckpt, skip the "
+                         "offset sweep")
+    ap.add_argument("--tnet-ckpt", default=None,
+                    help="save (after training) / restore (if exists "
+                         "and --train-steps 0) the TrackingNet params")
     ap.add_argument("--out", default="artifacts/hybrid_robustness_r2.json")
     args = ap.parse_args()
 
@@ -53,29 +62,56 @@ def main():
     # ---- train the TrackingNet on wide-offset plane-scene pairs ----
     net, state, tx = create_tnet_state(
         jax.random.PRNGKey(0), image_size=(H, W), levels=3,
-        num_samples=args.num_samples, learning_rate=3e-4)
+        num_samples=args.num_samples, learning_rate=args.lr,
+        total_steps=args.train_steps)
     step = jax.jit(make_tnet_train_step(net, tx))
 
     @jax.jit
     def make_batch(key):
         pair = make_plane_scene_pair(
             key, batch=args.batch, height=H, width=W,
-            rot_magnitude=0.12, trans_magnitude=0.05)
+            rot_magnitude=args.rot_mag, trans_magnitude=args.trans_mag)
         return dict(image1=pair["image1"], image2=pair["image2"],
                     depth=pair["depth"],
                     intr_array=pair["intr"].as_array(),
                     R_gt=pair["R_true"], t_gt=pair["t_true"])
 
+    from banet_tpu.utils.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
     t0 = time.time()
     hist = []
+    if args.train_steps == 0 and args.tnet_ckpt and \
+            os.path.exists(args.tnet_ckpt):
+        state = state.replace(params=restore_checkpoint(
+            os.path.abspath(args.tnet_ckpt), state.params))
+        print(f"restored TrackingNet params from {args.tnet_ckpt}",
+              flush=True)
     for i in range(args.train_steps):
         state, m = step(state, make_batch(jax.random.PRNGKey(i)))
+        if args.tnet_ckpt and i and i % 2000 == 0:
+            save_checkpoint(os.path.abspath(args.tnet_ckpt),
+                            jax.device_get(state.params))
         if i % 100 == 0 or i == args.train_steps - 1:
             hist.append({"step": i,
                          "total": float(m["total"]),
+                         "flow": float(m.get("flow_loss", 0.0)),
                          "ang_deg": float(m["ang_deg"])})
             print(json.dumps(hist[-1]), flush=True)
     train_s = time.time() - t0
+    if args.tnet_ckpt and args.train_steps > 0:
+        save_checkpoint(os.path.abspath(args.tnet_ckpt),
+                        jax.device_get(state.params))
+    if args.train_only:
+        out = {"train_steps": args.train_steps,
+               "train_s": round(train_s, 1), "lr": args.lr,
+               "rot_mag": args.rot_mag, "train_history": hist}
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({"done": True, "train_only": True,
+                          "out": args.out}))
+        return
 
     # ---- build the hybrid tracker around the trained regressor ----
     cfg = Config(model=ModelConfig(backbone="drn22",

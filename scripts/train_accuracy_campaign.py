@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--ema-decay", type=float, default=0.999)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--save-every", type=int, default=500,
+                    help="overwrite <out>/ckpt(+_ema) every N steps so "
+                         "an interrupted run loses at most N steps")
     ap.add_argument("--out", default="artifacts/campaign_r2")
     args = ap.parse_args()
 
@@ -111,6 +114,16 @@ def main():
                 logf.write(json.dumps(rec) + "\n")
                 logf.flush()
                 print(json.dumps(rec), flush=True)
+            if args.save_every and (i + 1) % args.save_every == 0 \
+                    and i != args.steps - 1:
+                save_checkpoint(
+                    os.path.join(args.out, "ckpt"),
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)})
+                save_checkpoint(
+                    os.path.join(args.out, "ckpt_ema"),
+                    {"params": jax.device_get(ema),
+                     "batch_stats": jax.device_get(state.batch_stats)})
 
     variables = {"params": state.params,
                  "batch_stats": state.batch_stats}
