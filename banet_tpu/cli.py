@@ -82,15 +82,22 @@ def _cmd_odometry(args) -> int:
               file=sys.stderr)
     runner = OdometryRunner(tracker, num_points=args.num_points,
                             window_ba=args.window_ba,
+                            window_ba_mode=args.window_ba_mode,
                             tnet=tnet, tnet_variables=tnet_vars,
-                            tnet_size=tuple(args.tnet_size))
+                            tnet_size=tuple(args.tnet_size),
+                            tnet_mode=args.tnet_mode)
     frames = ((f.timestamp, f.load_rgb(), f.load_depth())
               for f in seq.frames[:args.max_frames])
     traj, stats = runner.run(frames, seq.intrinsics)
     save_tum_trajectory(args.out, traj)
-    print(json.dumps({"frames": stats.num_frames,
-                      "keyframes": stats.num_keyframes,
-                      "out": args.out}))
+    out = {"frames": stats.num_frames,
+           "keyframes": stats.num_keyframes,
+           "out": args.out}
+    if tnet is not None:
+        out["tnet_rescues"] = stats.tnet_rescues
+    if args.window_ba:
+        out["window_refinements"] = stats.window_refinements
+    print(json.dumps(out))
     return 0
 
 
@@ -182,6 +189,17 @@ def _cmd_train(args) -> int:
     model, state = create_train_state(
         cfg, jax.random.PRNGKey(cfg.train.seed),
         image_size=tuple(args.image_size), num_points=args.num_points)
+    if args.backbone_npy:
+        from banet_tpu.utils.backbone_init import (load_backbone_npy,
+                                                   seed_backbone)
+
+        merged, restored, _skipped = seed_backbone(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            load_backbone_npy(args.backbone_npy))
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        print(f"seeded {len(restored)} encoder arrays from "
+              f"{args.backbone_npy}", file=sys.stderr)
     step = jax.jit(make_train_step(model, cfg))
     logger = MetricsLogger(args.log_file)
     for i in range(args.steps):
@@ -222,9 +240,20 @@ def main(argv=None) -> int:
     po.add_argument("--tnet-size", type=int, nargs=2, default=(64, 96),
                     help="resolution the TrackingNet was trained at")
     po.add_argument("--tnet-samples", type=int, default=16)
+    po.add_argument("--tnet-mode", choices=["rescue", "always"],
+                    default="rescue",
+                    help="rescue: regressor init only on frames whose "
+                         "warm-start solve looks broken (adopted iff "
+                         "the feature residual improves); always: try "
+                         "it every frame under the same test")
     po.add_argument("--window-ba", action="store_true",
                     help="refine each keyframe window with the joint "
                     "Schur-complement BA")
+    po.add_argument("--window-ba-mode", choices=["single", "multi"],
+                    default="single",
+                    help="multi: couple the previous keyframe into "
+                         "each window solve (pose-graph-consistent "
+                         "keyframe-chain refinement)")
     po.set_defaults(fn=_cmd_odometry)
 
     pe = sub.add_parser("evaluate", help="ATE + RPE between TUM "
@@ -257,6 +286,9 @@ def main(argv=None) -> int:
                     default=[256, 320])
     pt.add_argument("--num-points", type=int, default=512)
     pt.add_argument("--checkpoint", default=None)
+    pt.add_argument("--backbone-npy", default=None,
+                    help="seed the encoder from a .npy weight dict "
+                         "(docs/REAL_DATA.md; reference enc.py:241)")
     pt.add_argument("--log-file", default=None)
     pt.set_defaults(fn=_cmd_train)
 

@@ -189,7 +189,8 @@ class BANet(nn.Module):
                    t0: Optional[jnp.ndarray] = None,
                    train: bool = False,
                    feats_ref: Optional[List[jnp.ndarray]] = None,
-                   feats_tgt: Optional[List[jnp.ndarray]] = None):
+                   feats_tgt: Optional[List[jnp.ndarray]] = None,
+                   return_per_level: bool = False):
         """Coarse-to-fine pose-only tracking (CameraResize equivalent,
         reference bundlenet.py:280-329, without the train-crop remap —
         apply geometry.crop_remap upstream when training on crops).
@@ -224,7 +225,7 @@ class BANet(nn.Module):
             ref_l, tgt_l, rays, point_depths, R0, t0, intr_l,
             self._damping_fns(levels), self.cfg.solver,
             renormalize_residual=self.cfg.solver.renormalize_residual,
-            footprint_hws=fp_l)
+            footprint_hws=fp_l, return_per_level=return_per_level)
 
     def sample_ref_features(self, feats_ref: List[jnp.ndarray],
                             points: jnp.ndarray) -> List[jnp.ndarray]:
@@ -473,29 +474,40 @@ class BANet(nn.Module):
         return dict(Rs_f=Rs_f, ts_f=ts_f, Rs_k=Rs_k, ts_k=ts_k, Ws=Ws,
                     residual_history=hist)
 
-    def __call__(self, image_ref, image_tgt, intr, points, train=False):
+    def __call__(self, image_ref, image_tgt, intr, points, train=False,
+                 point_depths=None):
         """Init/forward path touching every submodule (all pyramid-level
         damping nets and the decoder), so ``module.init`` creates the
-        complete parameter tree.
+        complete parameter tree — and the TRAINING path: the trainer
+        runs this full pose-then-bundle cascade so every pyramid level's
+        solve (not just bundle_adjust's two finest) is supervised; the
+        coarse levels are what give the tracker its convergence basin
+        (per-level supervision as in reference bundlenet.py:395-397).
 
         Runs the encoder exactly once per image and shares the layer
         list between the FPN and the DLA decoder, so the full
-        pose-then-bundle step costs 2 encoder passes, not 5."""
+        pose-then-bundle step costs 2 encoder passes, not 5.
+
+        ``point_depths``: (B, N) depths at ``points`` (sensor/GT depth —
+        the tracker's operating condition).  Defaults to ones, which is
+        only meaningful for ``module.init``."""
         B, N = points.shape[0], points.shape[1]
-        depths = jnp.ones((B, N), dtype=jnp.float32)
+        if point_depths is None:
+            point_depths = jnp.ones((B, N), dtype=jnp.float32)
         layers_ref = self.encoder(image_ref, train)
         layers_tgt = self.encoder(image_tgt, train)
         feats_ref = self.features_from_layers(layers_ref, train)
         feats_tgt = self.features_from_layers(layers_tgt, train)
         db = self.depth_basis_from_layers(layers_ref, train)
-        R, t, aux = self.pose_track(image_ref, image_tgt, intr, points,
-                                    depths, train=train,
-                                    feats_ref=feats_ref,
-                                    feats_tgt=feats_tgt)
+        R, t, aux, pose_levels = self.pose_track(
+            image_ref, image_tgt, intr, points, point_depths,
+            train=train, feats_ref=feats_ref, feats_tgt=feats_tgt,
+            return_per_level=True)
         out = self.bundle_adjust(image_ref, image_tgt, intr, points,
                                  R0=R, t0=t, train=train,
                                  feats_ref=feats_ref,
                                  feats_tgt=feats_tgt,
                                  depth_basis_maps=db)
-        out.update(pose_R=R, pose_t=t, pose_aux=aux)
+        out.update(pose_R=R, pose_t=t, pose_aux=aux,
+                   pose_per_level=pose_levels)
         return out

@@ -39,6 +39,7 @@ class OdometryStats:
     rejected_ratio_rekeys: int = 0
     time_gap_rekeys: int = 0
     window_refinements: int = 0
+    tnet_rescues: int = 0
 
 
 class OdometryRunner:
@@ -71,16 +72,29 @@ class OdometryRunner:
                  window_iters: int = 3,
                  window_ba_mode: str = "single",
                  tnet=None, tnet_variables=None,
-                 tnet_size: Tuple[int, int] = (64, 96)):
+                 tnet_size: Tuple[int, int] = (64, 96),
+                 tnet_mode: str = "rescue",
+                 tnet_rescue_keep: float = 0.85):
         """``tnet``/``tnet_variables``: optional TrackingNet regressor
-        (models/tracking_net.py).  When given, every frame's GN solve is
-        initialized from the regressor's cascade REFINEMENT of the warm
-        start (hybrid odometry): the net renders the keyframe at the
-        warm-start pose and predicts the correction, converting
-        fast-motion local-minimum failures of the feature-metric solver
-        into convergent tracks.  Inputs are resized to ``tnet_size``
-        (the net's MotionBlock flattens its spatial grid, so weights are
-        resolution-specific); the pose is resolution-independent.
+        (models/tracking_net.py) for hybrid odometry: the net renders
+        the keyframe at the warm-start pose and predicts the
+        correction, converting fast-motion local-minimum failures of
+        the feature-metric solver into convergent tracks.  Inputs are
+        resized to ``tnet_size`` (the net's MotionBlock flattens its
+        spatial grid, so weights are resolution-specific); the pose is
+        resolution-independent.
+
+        ``tnet_mode``:
+        - ``"rescue"`` (default): track from the warm start first; only
+          when the solve looks broken (keep_ratio < ``tnet_rescue_keep``)
+          re-track from the regressor's init, adopting it iff the
+          finest-level feature residual improves.  The regressor's
+          ~0.5 deg prediction noise therefore never touches healthy
+          frames (measured: unconditional init turns a 0.09 m-ATE
+          sequence into meters of drift, while GN-only gets 0% success
+          beyond ~3 deg offsets — rescue composes both regimes).
+        - ``"always"``: regressor init on every frame, adopted under
+          the same residual test.
         """
         self.tracker = tracker
         self.kf = keyframe_cfg or KeyframeConfig()
@@ -94,6 +108,8 @@ class OdometryRunner:
         self.tnet = tnet
         self.tnet_variables = tnet_variables
         self.tnet_size = tnet_size
+        self.tnet_mode = tnet_mode
+        self.tnet_rescue_keep = tnet_rescue_keep
         if tnet is not None:
             import jax
             import jax.numpy as jnp
@@ -273,16 +289,27 @@ class OdometryRunner:
 
             # Steady-state path: keyframe features are cached; only the
             # new frame's pyramid is computed.
-            if self.tnet is not None:
+            R, t, keep, res = self.tracker.track_frame(
+                rgb, initR, initT, with_residual=True)
+            if self.tnet is not None and (
+                    self.tnet_mode == "always"
+                    or float(keep[0]) < self.tnet_rescue_keep):
                 Ri, ti = self._tnet_init(
                     self.tnet_variables,
                     np.asarray(key_img, np.float32)[None],
                     np.asarray(key_depth_map, np.float32)[None],
                     np.asarray(rgb, np.float32)[None],
                     intr_arr, initR, initT)
-                initR = np.asarray(Ri, np.float32)
-                initT = np.asarray(ti, np.float32)
-            R, t, keep = self.tracker.track_frame(rgb, initR, initT)
+                R2, t2, keep2, res2 = self.tracker.track_frame(
+                    rgb, np.asarray(Ri, np.float32),
+                    np.asarray(ti, np.float32), with_residual=True)
+                # Adopt the regressor-seeded solve only when it lands
+                # in a better feature-metric optimum.
+                if (float(res2[0]) < float(res[0])
+                        and float(keep2[0]) >= float(keep[0]) - 0.02):
+                    R, t, keep = R2, t2, keep2
+                    stats.tnet_rescues += 1
+            R, t, keep = np.asarray(R), np.asarray(t), np.asarray(keep)
             rel = np.eye(4)
             rel[:3, :3] = R[0]
             rel[:3, 3] = t[0]

@@ -55,7 +55,10 @@ class TwoViewTracker:
             R, t, aux = self.model.apply(
                 variables, ref_sampled, img2, intr, points, depths, R0,
                 t0, method=self.model.pose_track_cached)
-            return R, t, aux.keep_ratio
+            # residual_before is the finest level's accepted-pose
+            # feature residual — the solve-quality signal the hybrid
+            # rescue compares two inits by (odometry.py).
+            return R, t, aux.keep_ratio, aux.residual_before
 
         @jax.jit
         def _bundle(variables, img1, img2, k, points):
@@ -149,10 +152,13 @@ class TwoViewTracker:
         ref_sampled = self._keyframe_features(self.variables, img, pts)
         self._kf = (ref_sampled, k, pts, d)
 
-    def track_frame(self, image_tgt, initR=None, initT=None):
+    def track_frame(self, image_tgt, initR=None, initT=None,
+                    with_residual: bool = False):
         """Track against the cached keyframe (set_keyframe first).
 
-        Returns (R (B,3,3), t (B,3), keep_ratio (B,)) as numpy."""
+        Returns (R (B,3,3), t (B,3), keep_ratio (B,)) as numpy; with
+        ``with_residual`` also the finest-level accepted-pose feature
+        residual (B,) — comparable across inits of the SAME frame."""
         assert self._kf is not None, "call set_keyframe first"
         ref_sampled, k, pts, d = self._kf
         img2 = _batched(image_tgt, 4)
@@ -163,8 +169,12 @@ class TwoViewTracker:
             initT = np.zeros((B, 3), np.float32)
         initR = _batched(np.asarray(initR, np.float32), 3)
         initT = np.asarray(initT, np.float32).reshape(B, -1)[:, :3]
-        R, t, keep = self._track_cached(self.variables, ref_sampled,
-                                        img2, k, pts, d, initR, initT)
+        R, t, keep, res = self._track_cached(self.variables, ref_sampled,
+                                             img2, k, pts, d, initR,
+                                             initT)
+        if with_residual:
+            return (np.asarray(R), np.asarray(t), np.asarray(keep),
+                    np.asarray(res))
         return np.asarray(R), np.asarray(t), np.asarray(keep)
 
 

@@ -115,8 +115,15 @@ def total_loss(outputs: Dict, batch: Dict, intr: Intrinsics, weights,
     """
     R_gt, t_gt = batch["R_gt"], batch["t_gt"]
     terms = {"rotation": 0.0, "translation": 0.0, "flow": 0.0}
-    levels = outputs["per_level"]
-    for (R, t, _W) in levels:
+    # Supervise EVERY solver level: the pose-track cascade's levels
+    # (coarse -> fine, present when training through BANet.__call__)
+    # followed by the bundle levels.  Without the pose-track terms the
+    # coarse levels — the tracker's convergence basin — get no
+    # supervision at all (measured: eval-from-identity stalls halfway
+    # on motions the fine levels alone cannot capture).
+    levels = ([(R, t) for (R, t) in outputs.get("pose_per_level", [])]
+              + [(R, t) for (R, t, _W) in outputs["per_level"]])
+    for (R, t) in levels:
         terms["rotation"] += loss_rotation(R, R_gt) / len(levels)
         terms["translation"] += loss_translation(t, t_gt) / len(levels)
         terms["flow"] += loss_flow(

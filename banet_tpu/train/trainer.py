@@ -77,10 +77,14 @@ def make_train_step(model: BANet, cfg: Config
 
     def loss_fn(params, batch_stats, batch):
         intr = Intrinsics.from_array(batch["intr_array"])
+        # Full cascade (__call__): pose_track over ALL pyramid levels
+        # from identity with GT point depths — the tracker's operating
+        # condition — then bundle_adjust from the tracked pose.  Every
+        # level's output is supervised (losses.total_loss).
         outputs, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image1"], batch["image2"], intr, batch["points"],
-            train=True, method=model.bundle_adjust,
+            train=True, point_depths=batch["point_depths"],
             mutable=["batch_stats"])
         terms = L.total_loss(outputs, batch, intr, cfg.train,
                              cfg.geometry.normalized_rays)
@@ -98,6 +102,18 @@ def make_train_step(model: BANet, cfg: Config
         return new_state, metrics
 
     return train_step
+
+
+def depth_at_points(depth: jnp.ndarray, points: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Bilinearly sample a (B, H, W) depth map at (B, N, 2) pixel
+    points -> (B, N), floored away from the camera center (the same
+    guard the bundle path applies to its sampled net depth)."""
+    from banet_tpu.ops.resample import bilinear_sample
+
+    d = bilinear_sample(depth[..., None], points[..., 0],
+                        points[..., 1])[..., 0]
+    return jnp.maximum(d, 0.01)
 
 
 def crop_augmented_batch(key, batch: int = 2,
@@ -148,6 +164,7 @@ def crop_augmented_batch(key, batch: int = 2,
         image1=image1, image2=image2,
         intr_array=intr.as_array(),
         points=pts,
+        point_depths=depth_at_points(depth_gt, pts),
         R_gt=pair["R_true"], t_gt=pair["t_true"],
         depth_gt=depth_gt,
         valid_mask=jnp.ones_like(depth_gt),
@@ -171,6 +188,7 @@ def synthetic_batch(key, batch: int = 2, height: int = 64, width: int = 96,
         image1=pair["image1"], image2=pair["image2"],
         intr_array=pair["intr"].as_array(),
         points=pts,
+        point_depths=depth_at_points(pair["depth"], pts),
         R_gt=pair["R_true"], t_gt=pair["t_true"],
         depth_gt=pair["depth"],
         valid_mask=jnp.ones_like(pair["depth"]),

@@ -75,6 +75,8 @@ def main():
                     help="TrackingNet checkpoint: adds a hybrid "
                          "(regression-init) odometry condition")
     ap.add_argument("--tnet-samples", type=int, default=16)
+    ap.add_argument("--tnet-mode", choices=["rescue", "always"],
+                    default="rescue")
     ap.add_argument("--out",
                     default="artifacts/campaign_r2/trajectory_eval.json")
     args = ap.parse_args()
@@ -117,7 +119,8 @@ def main():
             odo_args += ["--iters"] + [str(i) for i in args.iters]
         if tnet:
             odo_args += ["--tnet-checkpoint", tnet,
-                         "--tnet-samples", str(args.tnet_samples)]
+                         "--tnet-samples", str(args.tnet_samples),
+                         "--tnet-mode", args.tnet_mode]
         if ckpt:
             odo_args += ["--checkpoint", ckpt]
         odo = run_cli(odo_args)

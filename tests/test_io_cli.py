@@ -100,3 +100,64 @@ class TestCLI:
 
         traj = load_tum_trajectory(out_file)
         assert len(traj) == 3
+
+    def test_odometry_multi_window_ba(self, tmp_path, capsys,
+                                      monkeypatch):
+        """--window-ba --window-ba-mode multi drives the coupled
+        keyframe-chain refinement end-to-end through the CLI (the fake
+        sequence's 0.05 s stamps re-key on the 0.1 s gap policy, so
+        two windows close and the second couples the previous
+        keyframe)."""
+        from banet_tpu import cli
+        from banet_tpu.config import Config, ModelConfig, SolverConfig
+        from banet_tpu.data.tum import write_fake_sequence
+
+        seq_dir = str(tmp_path / "seq")
+        write_fake_sequence(seq_dir, num_frames=7)
+        tiny = Config(model=ModelConfig(backbone="drn22",
+                                        compute_dtype="float32"),
+                      solver=SolverConfig(level_iters=(1, 1, 1, 1)))
+        monkeypatch.setattr("banet_tpu.config.default_config",
+                            lambda: tiny)
+        out_file = str(tmp_path / "traj.txt")
+        rc = cli.main(["odometry", seq_dir, "--out", out_file,
+                       "--num-points", "16", "--max-frames", "7",
+                       "--window-ba", "--window-ba-mode", "multi"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["window_refinements"] >= 2
+        from banet_tpu.eval.trajectory import load_tum_trajectory
+
+        traj = load_tum_trajectory(out_file)
+        assert len(traj) == 7
+        assert np.all(np.isfinite(traj.poses))
+
+    def test_train_backbone_npy_seed(self, tmp_path, capsys,
+                                     monkeypatch):
+        """train --backbone-npy seeds the encoder from an exported
+        dict (docs/REAL_DATA.md hand-off; reference enc.py:241)."""
+        import jax
+
+        from banet_tpu import cli
+        from banet_tpu.config import (Config, ModelConfig, SolverConfig,
+                                      TrainConfig)
+        from banet_tpu.train.trainer import create_train_state
+        from banet_tpu.utils.backbone_init import export_backbone_npy
+
+        tiny = Config(model=ModelConfig(backbone="drn22",
+                                        compute_dtype="float32"),
+                      solver=SolverConfig(level_iters=(1, 1, 1, 1)),
+                      train=TrainConfig(batch_pairs=1))
+        monkeypatch.setattr("banet_tpu.config.default_config",
+                            lambda: tiny)
+        _model, donor = create_train_state(
+            tiny, jax.random.PRNGKey(7), image_size=(64, 96),
+            num_points=8)
+        npy = str(tmp_path / "backbone.npy")
+        n = export_backbone_npy(npy, {"params": donor.params,
+                                      "batch_stats": donor.batch_stats})
+        assert n > 0
+        rc = cli.main(["train", "--steps", "1", "--image-size", "64",
+                       "96", "--num-points", "8",
+                       "--backbone-npy", npy])
+        assert rc == 0
