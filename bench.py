@@ -114,19 +114,29 @@ def main():
                            method=model.sample_ref_features)
 
     def make_chain(m):
+        # The image is threaded through the loop carry (perturbed by a
+        # data-dependent epsilon) so the target pyramid is recomputed
+        # every frame.  With a loop-INVARIANT image XLA hoists the
+        # whole pyramid (and every other image-only computation) out of
+        # the fori_loop and the "per-frame" slope measures only the GN
+        # solve — measured 0.44 ms/frame vs the honest 2.1 ms at the
+        # same operating point (round-2 hoisting postmortem,
+        # artifacts/PROFILE_r02/README.md).
         @jax.jit
         def chain(variables, reps, ref_sampled, img2, k, pts, depths):
             intr = Intrinsics.from_array(k)
 
             def body(_, carry):
-                t0, acc = carry
+                t0, img, acc = carry
                 R, t, aux = m.apply(
-                    variables, ref_sampled, img2, intr, pts, depths,
+                    variables, ref_sampled, img, intr, pts, depths,
                     None, t0 * 1e-6, method=m.pose_track_cached)
-                return (t, acc + jnp.sum(t) + jnp.sum(R))
+                s = jnp.sum(t) + jnp.sum(R)
+                return (t, img + 1e-9 * s, acc + s)
 
-            _, acc = jax.lax.fori_loop(
-                0, reps, body, (jnp.zeros((1, 3)), jnp.float32(0.0)))
+            _, _, acc = jax.lax.fori_loop(
+                0, reps, body,
+                (jnp.zeros((1, 3)), img2, jnp.float32(0.0)))
             return acc
         return chain
 

@@ -261,6 +261,24 @@ class TestUpsample:
         diffs = np.diff(interior)
         np.testing.assert_allclose(diffs, 0.5, atol=1e-5)
 
+    def test_interleave_matches_conv_formulation(self):
+        # The production separable-interleave path must match the
+        # literal reference construction (symmetric pad + 4x4 stride-2
+        # depthwise conv_transpose + crop) to float tolerance, both in
+        # values and in gradient (the DLA decoder differentiates it).
+        from banet_tpu.ops.upsample import upsample2x_bilinear_conv
+
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 5, 7, 3),
+                        jnp.float32)
+        np.testing.assert_allclose(np.asarray(upsample2x_bilinear(x)),
+                                   np.asarray(upsample2x_bilinear_conv(x)),
+                                   atol=1e-6)
+        g1 = jax.grad(lambda v: jnp.sum(jnp.sin(upsample2x_bilinear(v))))(x)
+        g2 = jax.grad(
+            lambda v: jnp.sum(jnp.sin(upsample2x_bilinear_conv(v))))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-5)
+
     def test_kernel_values_match_reference(self):
         from banet_tpu.ops.upsample import _KERNEL_2D
         expected = np.array([[0.0625, 0.1875, 0.1875, 0.0625],
