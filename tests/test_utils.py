@@ -60,3 +60,34 @@ class TestLogging:
         lines = [json.loads(l) for l in open(p)]
         assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
         assert lines[1]["loss"] == 0.25
+
+
+class TestProfileReport:
+    def test_components_and_trace(self, tmp_path):
+        """scripts/profile_report.py end-to-end at a tiny operating
+        point: slope table, HLO roofline block, and a real
+        jax.profiler trace with a parsed top-op table."""
+        import json
+        import subprocess
+        import sys
+
+        out = tmp_path / "prof" / "report.json"
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                   JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "scripts/profile_report.py",
+             "--components", "--trace", "--image-size", "64", "96",
+             "--num-points", "32", "--k-small", "1", "--k-big", "3",
+             "--out", str(out)],
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        rep = json.loads(out.read_text())
+        comps = rep["components"]
+        for key in ("pyramid", "frame_fixed_iters", "frame_early_exit",
+                    "gn_solve_27_iters", "frame_hlo"):
+            assert key in comps
+        assert comps["frame_hlo"]["gflops"] > 0
+        assert rep["trace"]["top_ops"], "trace parsed to an op table"
+        assert (tmp_path / "prof" / "trace").is_dir()
