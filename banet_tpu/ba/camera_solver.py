@@ -46,6 +46,10 @@ class PoseStepAux(NamedTuple):
     residual_after: jnp.ndarray   # (B,) at the *proposed* pose
     keep_ratio: jnp.ndarray      # (B,) in-bounds fraction at entry pose
     lam: jnp.ndarray             # (B,) learned damping
+    iters_run: jnp.ndarray       # (B,) GN iterations actually executed
+    #   (active, pre-convergence).  From solve_pose_level: this level's
+    #   count; from solve_pose_pyramid: the total across levels.  Basis
+    #   for honest executed-work accounting in bench.py.
 
 
 def _scalar_residual(wr: WarpResult, renormalize: bool) -> jnp.ndarray:
@@ -102,6 +106,7 @@ def pose_gn_step(
         residual_after=res_after,
         keep_ratio=wr.keep_ratio,
         lam=lam,
+        iters_run=jnp.ones_like(res_before),
     )
     return R_new, t_new, aux
 
@@ -175,10 +180,13 @@ def solve_pose_level(
             residual_after=res_after,
             keep_ratio=wr.keep_ratio,
             lam=lam,
+            iters_run=last_aux.iters_run,  # accumulated below, not frozen
         )
         active = ~done
         aux = jax.tree.map(
             lambda new, old: jnp.where(active, new, old), aux, last_aux)
+        aux = aux._replace(
+            iters_run=last_aux.iters_run + active.astype(R.dtype))
         if cfg.early_termination:
             converged = ((aux.dw < cfg.angle_change) &
                          (aux.dt < cfg.translation_change))
@@ -188,7 +196,7 @@ def solve_pose_level(
     B = R0.shape[0]
     wr0 = warp_residuals(ref_feats, tgt_feats_grad, rays, depth, R0, t0,
                          intr, footprint=footprint_hw)
-    aux0 = PoseStepAux(*(jnp.zeros((B,), R0.dtype) for _ in range(7)))
+    aux0 = PoseStepAux(*(jnp.zeros((B,), R0.dtype) for _ in range(8)))
     done0 = jnp.zeros((B,), dtype=bool)
     carry0 = (R0, t0, wr0, done0, aux0)
     if cfg.dynamic_early_exit:
@@ -240,6 +248,7 @@ def solve_pose_pyramid(
     R, t = R0, t0
     per_level = []
     aux = None
+    iters_total = jnp.zeros((R0.shape[0],), R0.dtype)
     for lvl in range(len(ref_feats_levels)):
         R, t, aux = solve_pose_level(
             ref_feats_levels[lvl], tgt_feats_grad_levels[lvl], rays, depth,
@@ -247,7 +256,10 @@ def solve_pose_pyramid(
             renormalize_residual,
             footprint_hw=None if footprint_hws is None
             else footprint_hws[lvl])
+        iters_total = iters_total + aux.iters_run
         per_level.append((R, t))
+    # aux.iters_run at pyramid granularity = total across levels.
+    aux = aux._replace(iters_run=iters_total)
     if return_per_level:
         return R, t, aux, per_level
     return R, t, aux

@@ -110,6 +110,12 @@ class ModelConfig:
     # legacy_tracker_config pins the faithful concat-width shape.
     pyramid_agg_channels: Optional[int] = 128
     pyramid_finest_convs: Optional[int] = 0
+    # Conv padding: "symmetric" (reference-parity edge mirror,
+    # enc.py:23-41 — an explicit concat before every k>1 conv that XLA
+    # cannot fold into the convolution) or "zero" (the conv's own SAME
+    # padding, which folds away; values differ in a 1-px border only
+    # and weights must be trained with the same mode).
+    conv_pad_mode: str = "symmetric"
     basis_channels: int = 32
     # Depth head basis normalization: instance std (reference dec.py:107-108)
     basis_normalized: bool = True

@@ -52,13 +52,15 @@ class BANet(nn.Module):
         dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32
         self.encoder = DRN(variant=mc.backbone, channels=mc.channels,
                            image_mean=mc.image_mean, image_std=mc.image_std,
-                           include_layer1=True, dtype=dtype)
+                           include_layer1=True, dtype=dtype,
+                           pad_mode=mc.conv_pad_mode)
         self.fpn = FeaturePyramid(levels=mc.pyramid_levels,
                                   features=mc.pyramid_channels,
                                   convs_per_level=mc.pyramid_convs_per_level,
                                   agg_features=mc.pyramid_agg_channels,
                                   finest_convs=mc.pyramid_finest_convs,
-                                  dtype=dtype)
+                                  dtype=dtype,
+                                  pad_mode=mc.conv_pad_mode)
         self.dla = DLA(normalize_basis=mc.basis_normalized, dtype=dtype)
         self.damping_nets = [
             DampingNet(mc.pyramid_channels,
@@ -161,11 +163,13 @@ class BANet(nn.Module):
             tuple(ref_l), tuple(tgt_l), rays, point_depths, R0, t0,
             intr.fx, intr.fy, intr.cx, intr.cy)
         z = jnp.zeros_like(state[:, 0, 0])
+        budget = float(sum(cfg_s.level_iters[:len(levels)]))
         aux = PoseStepAux(
             accepted=state[:, 0, 4], dw=z, dt=z,
             residual_before=state[:, 0, 0],
             residual_after=state[:, 0, 0],
-            keep_ratio=state[:, 0, 5], lam=state[:, 0, 3])
+            keep_ratio=state[:, 0, 5], lam=state[:, 0, 3],
+            iters_run=jnp.full_like(z, budget))  # fused = fixed budget
         return R, t, aux
 
     def _damping_fns(self, levels):

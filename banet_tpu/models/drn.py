@@ -56,7 +56,15 @@ def symmetric_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 class ConvBN(nn.Module):
-    """Symmetric-padded conv + optional BN + optional activation."""
+    """Padded conv + optional BN + optional activation.
+
+    ``pad_mode``: "symmetric" (reference parity, enc.py:23-41) mirrors
+    the edge before a VALID conv — an explicit concat XLA cannot fold
+    into the convolution, so every k>1 conv pays an extra HBM round
+    trip of its padded input.  "zero" uses the conv's own SAME padding
+    (folds away entirely); it changes values in a 1-px border only and
+    requires (re)training with the same mode — a perf knob, not a
+    drop-in for symmetric-trained weights."""
 
     features: int
     kernel: int = 3
@@ -68,14 +76,20 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.95
     bn_epsilon: float = 1e-5
+    pad_mode: str = "symmetric"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.dilation * (self.kernel - 1) // 2
+        padding = "VALID"
         if self.kernel > 1:
-            x = symmetric_pad(x, pad)
+            if self.pad_mode == "symmetric":
+                x = symmetric_pad(x, pad)
+            else:
+                assert self.pad_mode == "zero", self.pad_mode
+                padding = "SAME"
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="VALID",
+                    strides=(self.stride, self.stride), padding=padding,
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=self.use_bias, dtype=self.dtype,
                     kernel_init=nn.initializers.he_normal())(x)
@@ -95,6 +109,7 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     residual: bool = True
     dtype: Any = jnp.bfloat16
+    pad_mode: str = "symmetric"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,9 +118,11 @@ class BasicBlock(nn.Module):
             shortcut = ConvBN(self.features, kernel=1, dtype=self.dtype,
                               name="downsample")(x, train)
         y = ConvBN(self.features, 3, dilation=self.dilation, act=nn.relu,
-                   dtype=self.dtype, name="conv_bn1")(x, train)
+                   dtype=self.dtype, pad_mode=self.pad_mode,
+                   name="conv_bn1")(x, train)
         y = ConvBN(self.features, 3, dilation=self.dilation,
-                   dtype=self.dtype, name="conv_bn2")(y, train)
+                   dtype=self.dtype, pad_mode=self.pad_mode,
+                   name="conv_bn2")(y, train)
         if self.residual:
             y = y + shortcut
         return nn.relu(y)
@@ -118,6 +135,7 @@ class BottleneckBlock(nn.Module):
     dilation: int = 1
     expansion: int = 4
     dtype: Any = jnp.bfloat16
+    pad_mode: str = "symmetric"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -129,7 +147,8 @@ class BottleneckBlock(nn.Module):
         y = ConvBN(self.features, 1, act=nn.relu, dtype=self.dtype,
                    name="conv_bn1")(x, train)
         y = ConvBN(self.features, 3, dilation=self.dilation, act=nn.relu,
-                   dtype=self.dtype, name="conv_bn2")(y, train)
+                   dtype=self.dtype, pad_mode=self.pad_mode,
+                   name="conv_bn2")(y, train)
         y = ConvBN(out_ch, 1, dtype=self.dtype, name="conv_bn3")(y, train)
         return nn.relu(y + shortcut)
 
@@ -149,6 +168,7 @@ class DRN(nn.Module):
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     include_layer1: bool = True
     dtype: Any = jnp.bfloat16
+    pad_mode: str = "symmetric"  # see ConvBN.pad_mode
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
@@ -162,25 +182,26 @@ class DRN(nn.Module):
         x = ((images / 255.0 - mean) / std).astype(self.dtype)
 
         ch = self.channels
+        pm = self.pad_mode
         # layer0: 7x7 stem (reference enc.py:190-192).
         x = ConvBN(ch[0], kernel=7, act=nn.relu, dtype=self.dtype,
-                   name="layer0")(x, train)
+                   pad_mode=pm, name="layer0")(x, train)
         # layers 1-2: plain conv stacks (reference enc.py:168-178).
         for i in range(depths[0]):
             x = ConvBN(ch[0], 3, act=nn.relu, dtype=self.dtype,
-                       name=f"layer1_{i}")(x, train)
+                       pad_mode=pm, name=f"layer1_{i}")(x, train)
         layer1 = x
         x = _avg_pool2(x)
         for i in range(depths[1]):
             x = ConvBN(ch[1], 3, act=nn.relu, dtype=self.dtype,
-                       name=f"layer2_{i}")(x, train)
+                       pad_mode=pm, name=f"layer2_{i}")(x, train)
         layer2 = x
         # layers 3-6: residual stages (reference enc.py:152-166).
         feats = []
         for stage, (f, d) in enumerate(zip(ch[2:], depths[2:]), start=3):
             x = _avg_pool2(x)
             for i in range(d):
-                x = Block(f, dtype=self.dtype,
+                x = Block(f, dtype=self.dtype, pad_mode=pm,
                           name=f"layer{stage}_{i}")(x, train)
             feats.append(x)
         layer3, layer4, layer5, layer6 = feats

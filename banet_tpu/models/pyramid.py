@@ -56,6 +56,7 @@ class FeaturePyramid(nn.Module):
     agg_features: int | None = None   # None -> concat width (faithful)
     finest_convs: int | None = None   # None -> convs_per_level
     dtype: Any = jnp.bfloat16
+    pad_mode: str = "symmetric"       # see drn.ConvBN.pad_mode
 
     @nn.compact
     def __call__(self, backbone_layers: List[jnp.ndarray],
@@ -81,7 +82,7 @@ class FeaturePyramid(nn.Module):
                 n_convs = self.finest_convs
             for c in range(n_convs):
                 x = ConvBN(self.features, kernel=3, act=nn.selu,
-                           dtype=self.dtype,
+                           dtype=self.dtype, pad_mode=self.pad_mode,
                            name=f"conv_{lvl}_{c}")(x, train)
             if x.shape[-1] != self.features:
                 # finest_convs=0 with agg width != features: keep the

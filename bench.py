@@ -28,6 +28,23 @@ queued executions may be deduplicated), so every number is a SLOPE:
 Both cancel the constant round-trip/dispatch overhead; all inputs
 differ per repetition so nothing is elided.
 
+Roofline accounting (vs_baseline): fraction of the single-chip
+speed-of-light achieved by the headline frame, where
+SOL = max(algorithmic FLOPs / peak bf16, weight+input bytes / HBM BW).
+Three honesty rules, each learned the hard way:
+ 1. FLOPs are counted on a CPU-backend lowering of the same function —
+    the TPU compile reports MXU-padded FLOPs (2.3x higher here, from
+    lane-padding small-channel convs), which would inflate the ratio.
+ 2. XLA cost analysis counts loop bodies ONCE regardless of trip count,
+    so GN-iteration FLOPs are added explicitly: per-step FLOPs x the
+    MEASURED executed iterations (aux.iters_run, averaged over the
+    chain), not the static budget.
+ 3. The byte floor is weights + image only (a perfect kernel keeps all
+    activations in VMEM — they fit), so the floor is strict.
+The headline runs the TRAINED flagship weights (artifacts/campaign_r4
+EMA) when present: convergence behavior — and therefore executed
+iterations — is that of the shipped model, not of random init.
+
 Also reported (BASELINE's "BA frames/sec/chip"): bundle-adjust ms per
 pair (joint pose+depth, BundleResize path) and the F=4-frame window-BA
 time.
@@ -35,6 +52,7 @@ time.
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -42,8 +60,32 @@ import jax.numpy as jnp
 import numpy as np
 
 PEAK_FLOPS = 197e12  # TPU v5e bf16
+HBM_BPS = 819e9      # TPU v5e HBM bandwidth
 H, W, N = 256, 320, 1024
 REPEATS = 4
+TRAINED_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "campaign_r4", "ckpt_ema")
+
+
+def algorithmic_cost(fn, *args):
+    """(GFLOPs, MB accessed) of ``fn`` from a CPU-backend compile.
+
+    The CPU lowering counts algorithmic work; the TPU compile reports
+    MXU-padded FLOPs (54.5 vs 23.5 GF on the tracked frame — lane
+    padding of small-channel convs), which belongs to our layout, not
+    to the workload, so it must not enter the SOL numerator.  NB: XLA
+    counts while/scan bodies once regardless of trip count — iteration
+    work is added by the caller from measured counts.
+    """
+    avals = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        args)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        c = jax.jit(fn).lower(*avals).compile().cost_analysis()
+    c = c[0] if isinstance(c, (list, tuple)) else (c or {})
+    return (float(c.get("flops", 0.0)) / 1e9,
+            float(c.get("bytes accessed", 0.0)) / 1e6)
 
 
 def make_random_inputs(batch, seed):
@@ -99,6 +141,16 @@ def main():
     img1, img2, k, pts, _ = make_random_inputs(1, 0)
     variables = model.init(jax.random.PRNGKey(0), img1, img2,
                            Intrinsics.from_array(k), pts)
+    weights = "random_init"
+    if os.path.isdir(TRAINED_CKPT):
+        try:
+            from banet_tpu.utils.checkpoint import optimistic_restore
+            variables, restored, _skipped = optimistic_restore(
+                TRAINED_CKPT, variables)
+            if restored:
+                weights = "campaign_r4_ema"
+        except Exception as e:  # relay-independent; never kill the bench
+            weights = f"random_init (restore failed: {type(e).__name__})"
 
     @jax.jit
     def track(variables, img1, img2, k, pts, depths):
@@ -127,17 +179,19 @@ def main():
             intr = Intrinsics.from_array(k)
 
             def body(_, carry):
-                t0, img, acc = carry
+                t0, img, acc, it = carry
                 R, t, aux = m.apply(
                     variables, ref_sampled, img, intr, pts, depths,
                     None, t0 * 1e-6, method=m.pose_track_cached)
                 s = jnp.sum(t) + jnp.sum(R)
-                return (t, img + 1e-9 * s, acc + s)
+                return (t, img + 1e-9 * s, acc + s,
+                        it + jnp.sum(aux.iters_run))
 
-            _, _, acc = jax.lax.fori_loop(
+            _, _, acc, iters = jax.lax.fori_loop(
                 0, reps, body,
-                (jnp.zeros((1, 3)), img2, jnp.float32(0.0)))
-            return acc
+                (jnp.zeros((1, 3)), img2, jnp.float32(0.0),
+                 jnp.float32(0.0)))
+            return acc, iters / jnp.float32(reps)
         return chain
 
     chain_fixed = make_chain(model)
@@ -165,15 +219,18 @@ def main():
     def window_chain(variables, reps, img_key, imgs_tgt, k, pts):
         intr = Intrinsics.from_array(k)
 
+        # Both the keyframe AND the target frames ride the carry: a
+        # loop-invariant imgs_tgt would let XLA hoist the four target
+        # pyramids out of the chain (see make_chain note).
         def body(_, carry):
-            img, acc = carry
-            out = model.apply(variables, img, imgs_tgt, intr, pts,
+            img, tgts, acc = carry
+            out = model.apply(variables, img, tgts, intr, pts,
                               method=model.window_bundle_adjust)
             s = jnp.sum(out["ts"])
-            return (img + 1e-9 * s, acc + s)
+            return (img + 1e-9 * s, tgts + 1e-9 * s, acc + s)
 
-        _, acc = jax.lax.fori_loop(0, reps, body,
-                                   (img_key, jnp.float32(0.0)))
+        _, _, acc = jax.lax.fori_loop(
+            0, reps, body, (img_key, imgs_tgt, jnp.float32(0.0)))
         return acc
 
     # ---------------- serial-frame headline ----------------
@@ -182,25 +239,27 @@ def main():
         i1, i2, kk, pts, d = make_trackable_inputs(800)
         refs = keyframe_feats(variables, i1, pts)
         _ = np.asarray(chain(variables, jnp.int32(reps), refs, i2, kk,
-                             pts, d))
-        times = []
+                             pts, d)[0])
+        times, iters = [], 0.0
         for r in range(REPEATS):
             i1, i2, kk, pts, d = make_trackable_inputs(810 + r)
             refs = keyframe_feats(variables, i1, pts)
             _ = np.asarray(jnp.sum(refs[0]))  # drain queue
             t0 = time.perf_counter()
-            out = chain(variables, jnp.int32(reps), refs, i2, kk, pts, d)
-            _ = np.asarray(out)
+            acc, it = chain(variables, jnp.int32(reps), refs, i2, kk,
+                            pts, d)
+            _ = float(np.asarray(acc)) + float(np.asarray(it))
             times.append(time.perf_counter() - t0)
-        return min(times)
+            iters += float(np.asarray(it)) / REPEATS
+        return min(times), iters
 
     k1, k2 = 2, 18
-    t_exit = (timed_chain(chain_exit, k2) -
-              timed_chain(chain_exit, k1)) / (k2 - k1)
-    t_fixed = (timed_chain(chain_fixed, k2) -
-               timed_chain(chain_fixed, k1)) / (k2 - k1)
-    t_exit = max(t_exit, 1e-6)
-    t_fixed = max(t_fixed, 1e-6)
+    te2, _ = timed_chain(chain_exit, k1)
+    te18, iters_exec = timed_chain(chain_exit, k2)
+    tf2, _ = timed_chain(chain_fixed, k1)
+    tf18, _ = timed_chain(chain_fixed, k2)
+    t_exit = max((te18 - te2) / (k2 - k1), 1e-6)
+    t_fixed = max((tf18 - tf2) / (k2 - k1), 1e-6)
     fps = 1.0 / t_exit
 
     # ---------------- batch-marginal + BA detail ----------------
@@ -264,24 +323,65 @@ def main():
                     1e-6) * 1e3
     window_fps = WF / (window_ms / 1e3)
 
-    flops = None
+    # ---------------- honest roofline (see module docstring) ---------
+
+    n_levels = len(cfg.solver.level_iters)
+    budget = float(sum(cfg.solver.level_iters))
+    sol_detail = {}
+    vs_baseline = 0.0
     try:
+        i1, i2, kk, ptsx, d = make_trackable_inputs(800)
+        refs = keyframe_feats(variables, i1, ptsx)
+
+        def feats_only(img):
+            return model.apply(variables, img, method=model.features)
+
+        gf_feats, _ = algorithmic_cost(feats_only, i2)
+        gf_cached, _ = algorithmic_cost(
+            lambda *a: track_cached(*a), variables, refs, i2, kk, ptsx, d)
+        # Loop bodies are counted once per level; attribute the rest of
+        # the (cached - features) delta to one GN iteration per level.
+        gf_iter = max((gf_cached - gf_feats) / n_levels, 0.0)
+        gf_exec = gf_cached + max(iters_exec - n_levels, 0.0) * gf_iter
+        gf_fixed = gf_cached + (budget - n_levels) * gf_iter
+
+        n_params = sum(int(np.prod(x.shape))
+                       for x in jax.tree.leaves(variables))
+        bytes_floor = 2.0 * n_params + H * W * 3 * 4  # bf16 weights+image
+        sol_exec = max(gf_exec * 1e9 / PEAK_FLOPS, bytes_floor / HBM_BPS)
+        sol_fixed = max(gf_fixed * 1e9 / PEAK_FLOPS, bytes_floor / HBM_BPS)
+        vs_baseline = sol_exec / t_exit
+        sol_detail = {
+            "algo_gflops_frame_executed": round(gf_exec, 2),
+            "algo_gflops_frame_fixed_iters": round(gf_fixed, 2),
+            "algo_gflops_pyramid": round(gf_feats, 2),
+            "gflops_per_gn_iter": round(gf_iter, 4),
+            "gn_iters_executed": round(iters_exec, 2),
+            "gn_iters_budget": budget,
+            "bytes_floor_mb": round(bytes_floor / 1e6, 1),
+            "sol_ms_per_frame": round(sol_exec * 1e3, 4),
+            "vs_baseline_fixed_iters": round(sol_fixed / t_fixed, 4),
+        }
+    except Exception as e:
+        sol_detail = {"sol_error": f"{type(e).__name__}: {e}"}
+
+    try:  # padded-FLOP count of the TPU executable, for reference only
         s0 = cached_args(8, 0)
         cost = track_cached.lower(*s0).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
-        flops = float(cost.get("flops", 0.0)) / 8
+        sol_detail["tpu_padded_gflops_frame"] = round(
+            float(cost.get("flops", 0.0)) / 8 / 1e9, 2)
     except Exception:
         pass
-
-    vs_baseline = (flops / PEAK_FLOPS / t_exit) if flops else 0.0
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs_baseline, 4),
-        "detail": {
+        "detail": dict({
             "image": [H, W], "points": N,
+            "weights": weights,
             "per_frame_ms_serial_early_exit": round(t_exit * 1e3, 4),
             "per_frame_ms_serial_fixed_iters": round(t_fixed * 1e3, 4),
             "per_frame_ms_batch_marginal": round(t_frame_batch * 1e3, 4),
@@ -290,11 +390,8 @@ def main():
             "window_ba_ms": round(window_ms, 4),
             "window_ba_fps": round(window_fps, 3),
             "window_frames": WF,
-            "hlo_gflops_per_frame": round((flops or 0.0) / 1e9, 2),
-            "sol_ms_per_frame": round(1e3 * (flops or 0.0) / PEAK_FLOPS,
-                                      4),
             "device": str(jax.devices()[0]),
-        },
+        }, **sol_detail),
     }))
 
 

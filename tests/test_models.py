@@ -61,6 +61,42 @@ class TestDRN:
         outs = model.apply(vars_, img)
         assert outs[0].dtype == jnp.bfloat16
 
+    def test_pad_mode_zero_same_params_interior_match(self):
+        # pad_mode="zero" (conv SAME padding, XLA-foldable) must have
+        # the same param tree as "symmetric" and differ only in a
+        # k//2-px output border.  Single conv: border 1 px for k=3.
+        from banet_tpu.models.drn import ConvBN
+        img = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 24, 8))
+        sym = ConvBN(8, kernel=3, dtype=jnp.float32,
+                     pad_mode="symmetric")
+        zer = ConvBN(8, kernel=3, dtype=jnp.float32, pad_mode="zero")
+        vs = sym.init(jax.random.PRNGKey(2), img)
+        assert jax.tree.structure(vs) == jax.tree.structure(
+            zer.init(jax.random.PRNGKey(2), img))
+        a = sym.apply(vs, img)
+        b = zer.apply(vs, img)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a[:, 1:-1, 1:-1]),
+                                   np.asarray(b[:, 1:-1, 1:-1]),
+                                   rtol=1e-5, atol=1e-5)
+        assert not np.allclose(np.asarray(a[:, 0]), np.asarray(b[:, 0]))
+
+    def test_pad_mode_zero_full_model_tracks(self):
+        import dataclasses
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           conv_pad_mode="zero"))
+        model = BANet(cfg)
+        img1, img2, intr, pts = make_inputs()
+        variables = model.init(jax.random.PRNGKey(0), img1, img2, intr,
+                               pts)
+        d = jnp.full((B, N), 2.0)
+        R, t, aux = model.apply(variables, img1, img2, intr, pts, d,
+                                method=model.pose_track)
+        assert R.shape == (B, 3, 3) and t.shape == (B, 3)
+        assert np.isfinite(np.asarray(t)).all()
+
 
 class TestDLA:
     def test_depth_basis_shapes(self):

@@ -102,6 +102,35 @@ def test_early_termination_freezes_state():
     np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), atol=1e-5)
 
 
+def test_iters_run_counts_active_iterations():
+    # aux.iters_run counts pre-convergence iterations, not the budget:
+    # identical between the masked-scan and the dynamic while_loop modes,
+    # and < budget on an easy problem with early termination.
+    prob = make_two_view_problem(jax.random.PRNGKey(6), batch=1,
+                                 rot_magnitude=0.001,
+                                 trans_magnitude=0.001)
+    tgt_fg = append_spatial_gradient(prob["tgt_feats"])
+    R0 = jnp.eye(3)[None]
+    t0 = jnp.zeros((1, 3))
+    args = (prob["ref_feats"], tgt_fg, prob["rays"], prob["depth"], R0,
+            t0, prob["intr"], const_damping())
+
+    cfg_scan = SolverConfig(early_termination=True)
+    _, _, aux_scan = solve_pose_level(*args, num_iters=30, cfg=cfg_scan)
+    n_scan = float(aux_scan.iters_run[0])
+    assert 1.0 <= n_scan < 30.0, n_scan
+
+    cfg_while = SolverConfig(early_termination=True,
+                             dynamic_early_exit=True)
+    _, _, aux_while = solve_pose_level(*args, num_iters=30, cfg=cfg_while)
+    assert float(aux_while.iters_run[0]) == n_scan
+
+    # One plain step reports exactly one iteration.
+    _, _, aux1 = pose_gn_step(*args[:6], prob["intr"], const_damping(),
+                              SolverConfig())
+    assert float(aux1.iters_run[0]) == 1.0
+
+
 def test_pose_pyramid_multilevel():
     # Two "levels" using the same feature map at different scales.
     prob = make_two_view_problem(jax.random.PRNGKey(4), batch=2,
