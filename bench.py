@@ -345,8 +345,16 @@ def main():
         gf_exec = gf_cached + max(iters_exec - n_levels, 0.0) * gf_iter
         gf_fixed = gf_cached + (budget - n_levels) * gf_iter
 
-        n_params = sum(int(np.prod(x.shape))
-                       for x in jax.tree.leaves(variables))
+        # Floor = every parameter the tracked frame actually reads,
+        # once, in bf16, + the input image.  The DLA decoder and the
+        # encoder's layer6 stage feed only the bundle/depth paths (the
+        # FPN seeds from layer5), so XLA dead-code-eliminates them from
+        # the tracking executable — counting them would pad the floor.
+        leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
+        n_params = sum(
+            int(np.prod(x.shape)) for path, x in leaves
+            if not any(k in str(p) for p in path
+                       for k in ("dla", "layer6")))
         bytes_floor = 2.0 * n_params + H * W * 3 * 4  # bf16 weights+image
         sol_exec = max(gf_exec * 1e9 / PEAK_FLOPS, bytes_floor / HBM_BPS)
         sol_fixed = max(gf_fixed * 1e9 / PEAK_FLOPS, bytes_floor / HBM_BPS)

@@ -167,7 +167,9 @@ def main():
         def body(_, carry):
             img, acc = carry
             f = model.apply(variables, img, method=model.features)
-            s = jnp.sum(f[0].astype(jnp.float32))
+            # Consume EVERY level: summing only f[0] lets XLA DCE the
+            # finer levels' convs (round-2 hoisting/DCE postmortem).
+            s = sum(jnp.sum(x.astype(jnp.float32)) for x in f)
             return (img + 1e-9 * s, acc + s)
 
         _, acc = jax.lax.fori_loop(0, reps, body,
@@ -228,7 +230,23 @@ def main():
             "sol_ms": round(cs["sol_s"] * 1e3, 4),
             "compute_bound": bool(cs["compute_bound"]),
             "chip": chip,
+            "note": "backend cost analysis; on TPU the FLOPs are "
+                    "MXU-lane-padded (layout overhead, not workload). "
+                    "The honest algorithmic roofline is the one "
+                    "bench.py reports (CPU-backend FLOP count + "
+                    "measured executed iterations).",
         }
+        if platform != "cpu":
+            try:
+                from bench import algorithmic_cost
+                gf, mb = algorithmic_cost(
+                    single_track, variables, refs, s0[1], s0[2], s0[3],
+                    s0[4])
+                comps["frame_algorithmic"] = {
+                    "gflops": round(gf, 3), "mbytes": round(mb, 1)}
+            except Exception as e:
+                comps["frame_algorithmic"] = {
+                    "error": f"{type(e).__name__}: {e}"}
         meas = comps["frame_fixed_iters"]["per_call_ms"]
         comps["fraction_of_sol_fixed_iters"] = round(
             cs["sol_s"] * 1e3 / meas, 4) if meas else None
