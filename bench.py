@@ -333,10 +333,12 @@ def main():
         i1, i2, kk, ptsx, d = make_trackable_inputs(800)
         refs = keyframe_feats(variables, i1, ptsx)
 
-        def feats_only(img):
-            return model.apply(variables, img, method=model.features)
+        def feats_only(vs, img):  # variables as an ARG: closing over
+            # axon-device arrays would bake them in as constants and
+            # drag 90+ MB through the relay during the CPU lowering.
+            return model.apply(vs, img, method=model.features)
 
-        gf_feats, _ = algorithmic_cost(feats_only, i2)
+        gf_feats, _ = algorithmic_cost(feats_only, variables, i2)
         gf_cached, _ = algorithmic_cost(
             lambda *a: track_cached(*a), variables, refs, i2, kk, ptsx, d)
         # Loop bodies are counted once per level; attribute the rest of
