@@ -18,7 +18,30 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _apply_ckpt_model_config(cfg, checkpoint: str | None):
+    """Apply the model knobs recorded next to a campaign checkpoint
+    (<ckpt_dir>/../model_config.json, written by
+    scripts/train_accuracy_campaign.py) so the rebuilt model matches
+    the one the weights were trained with (e.g. conv_pad_mode)."""
+    if not checkpoint:
+        return cfg
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(checkpoint)),
+                           "model_config.json")
+    if not os.path.exists(sidecar):
+        return cfg
+    with open(sidecar) as f:
+        overrides = json.load(f)
+    if not overrides:
+        return cfg
+    import dataclasses
+
+    print(f"model config from {sidecar}: {overrides}", file=sys.stderr)
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, **overrides))
 
 
 def _cmd_odometry(args) -> int:
@@ -48,6 +71,7 @@ def _cmd_odometry(args) -> int:
 
         cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
             cfg.solver, level_iters=tuple(args.iters)))
+    cfg = _apply_ckpt_model_config(cfg, args.checkpoint)
     tracker = TwoViewTracker.initialize(cfg, image_size=(H, W),
                                         num_points=args.num_points)
     if args.checkpoint:
@@ -148,6 +172,7 @@ def _cmd_pairs(args) -> int:
 
         cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
             cfg.solver, level_iters=tuple(args.iters)))
+    cfg = _apply_ckpt_model_config(cfg, args.checkpoint)
     tracker = TwoViewTracker.initialize(
         cfg, image_size=rgb0.shape[:2], num_points=args.num_points)
     if args.checkpoint:

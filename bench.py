@@ -133,6 +133,14 @@ def main():
     from banet_tpu.models.banet import BANet
 
     cfg = default_config()
+    sidecar = os.path.join(os.path.dirname(TRAINED_CKPT),
+                           "model_config.json")
+    if os.path.isdir(TRAINED_CKPT) and os.path.exists(sidecar):
+        with open(sidecar) as f:  # ckpt-matching model knobs
+            overrides = json.load(f)
+        if overrides:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, **overrides))
     model = BANet(cfg)
     cfg_exit = dataclasses.replace(
         cfg, solver=dataclasses.replace(cfg.solver,

@@ -46,6 +46,15 @@ def main():
                     help="overwrite <out>/ckpt(+_ema) every N steps so "
                          "an interrupted run loses at most N steps")
     ap.add_argument("--out", default="artifacts/campaign_r2")
+    ap.add_argument("--pad-mode", default=None,
+                    choices=["symmetric", "zero"],
+                    help="conv padding (ModelConfig.conv_pad_mode); "
+                         "recorded in <out>/model_config.json so "
+                         "consumers rebuild the matching model")
+    ap.add_argument("--feature-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="solver feature-map dtype "
+                         "(ModelConfig.solver_feature_dtype)")
     args = ap.parse_args()
 
     import dataclasses
@@ -62,8 +71,18 @@ def main():
         cfg, train=dataclasses.replace(
             cfg.train, learning_rate=args.lr, total_steps=args.steps,
             lr_schedule="cosine"))
+    overrides = {}
+    if args.pad_mode:
+        overrides["conv_pad_mode"] = args.pad_mode
+    if args.feature_dtype:
+        overrides["solver_feature_dtype"] = args.feature_dtype
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **overrides))
 
     os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "model_config.json"), "w") as f:
+        json.dump(overrides, f)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                       image_size=(H, W),
                                       num_points=args.num_points)

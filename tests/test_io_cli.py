@@ -161,3 +161,24 @@ class TestCLI:
                        "96", "--num-points", "8",
                        "--backbone-npy", npy])
         assert rc == 0
+
+
+class TestCkptModelConfigSidecar:
+    def test_overrides_applied_and_absent_sidecar_noop(self, tmp_path):
+        from banet_tpu import cli
+        from banet_tpu.config import default_config
+
+        cfg = default_config()
+        # No checkpoint / no sidecar: unchanged object.
+        assert cli._apply_ckpt_model_config(cfg, None) is cfg
+        ckpt = tmp_path / "ckpt_ema"
+        ckpt.mkdir()
+        assert cli._apply_ckpt_model_config(cfg, str(ckpt)) is cfg
+        # Sidecar next to the checkpoint dir applies model overrides.
+        (tmp_path / "model_config.json").write_text(
+            json.dumps({"conv_pad_mode": "zero",
+                        "solver_feature_dtype": "bfloat16"}))
+        cfg2 = cli._apply_ckpt_model_config(cfg, str(ckpt))
+        assert cfg2.model.conv_pad_mode == "zero"
+        assert cfg2.model.solver_feature_dtype == "bfloat16"
+        assert cfg.model.conv_pad_mode == "symmetric"  # original intact
