@@ -116,6 +116,13 @@ class ModelConfig:
     # padding, which folds away; values differ in a 1-px border only
     # and weights must be trained with the same mode).
     conv_pad_mode: str = "symmetric"
+    # Inference-only space-to-depth stem layout (models/stem_s2d.py):
+    # computes the SAME layer0/layer1 function on the 2x2-phase grid
+    # (MXU output-lane use 12.5% -> 50%, intermediate lane padding
+    # 8x -> 2x).  Parameter tree is identical to the standard stem, so
+    # checkpoints restore verbatim; refuses train=True (per-phase BN
+    # statistics would differ) — train standard, track with this on.
+    stem_s2d: bool = False
     basis_channels: int = 32
     # Depth head basis normalization: instance std (reference dec.py:107-108)
     basis_normalized: bool = True

@@ -53,7 +53,8 @@ class BANet(nn.Module):
         self.encoder = DRN(variant=mc.backbone, channels=mc.channels,
                            image_mean=mc.image_mean, image_std=mc.image_std,
                            include_layer1=True, dtype=dtype,
-                           pad_mode=mc.conv_pad_mode)
+                           pad_mode=mc.conv_pad_mode,
+                           stem_s2d=mc.stem_s2d)
         self.fpn = FeaturePyramid(levels=mc.pyramid_levels,
                                   features=mc.pyramid_channels,
                                   convs_per_level=mc.pyramid_convs_per_level,

@@ -39,6 +39,8 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from banet_tpu.models.stem_s2d import _ConvBNParams, stem_s2d
+
 _VARIANTS = {
     "drn22": ("basic", (1, 1, 2, 2, 2, 2)),
     "drn38": ("basic", (1, 1, 3, 4, 6, 3)),
@@ -169,6 +171,10 @@ class DRN(nn.Module):
     include_layer1: bool = True
     dtype: Any = jnp.bfloat16
     pad_mode: str = "symmetric"  # see ConvBN.pad_mode
+    # Inference-only space-to-depth stem rewrite (models/stem_s2d.py):
+    # same function, MXU/bandwidth-friendly layout; checkpoints trained
+    # with the standard stem restore verbatim.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
@@ -183,15 +189,30 @@ class DRN(nn.Module):
 
         ch = self.channels
         pm = self.pad_mode
-        # layer0: 7x7 stem (reference enc.py:190-192).
-        x = ConvBN(ch[0], kernel=7, act=nn.relu, dtype=self.dtype,
-                   pad_mode=pm, name="layer0")(x, train)
-        # layers 1-2: plain conv stacks (reference enc.py:168-178).
-        for i in range(depths[0]):
-            x = ConvBN(ch[0], 3, act=nn.relu, dtype=self.dtype,
-                       pad_mode=pm, name=f"layer1_{i}")(x, train)
-        layer1 = x
-        x = _avg_pool2(x)
+        if self.stem_s2d:
+            # Same parameter tree as the standard branch below (holder
+            # modules named layer0 / layer1_0), different compute
+            # layout.  Training-mode BN would need per-phase batch
+            # statistics, so this path is inference-only.
+            if train:
+                raise ValueError("stem_s2d is an inference-only layout "
+                                 "knob; train with the standard stem")
+            assert depths[0] == 1, "s2d stem assumes one layer1 conv"
+            k0, bn0 = _ConvBNParams(7, x.shape[-1], ch[0],
+                                    name="layer0")()
+            k1, bn1 = _ConvBNParams(3, ch[0], ch[0], name="layer1_0")()
+            layer1, x = stem_s2d(x, k0, bn0, k1, bn1, pm, self.dtype,
+                                 ConvBN.bn_epsilon)
+        else:
+            # layer0: 7x7 stem (reference enc.py:190-192).
+            x = ConvBN(ch[0], kernel=7, act=nn.relu, dtype=self.dtype,
+                       pad_mode=pm, name="layer0")(x, train)
+            # layers 1-2: plain conv stacks (reference enc.py:168-178).
+            for i in range(depths[0]):
+                x = ConvBN(ch[0], 3, act=nn.relu, dtype=self.dtype,
+                           pad_mode=pm, name=f"layer1_{i}")(x, train)
+            layer1 = x
+            x = _avg_pool2(x)
         for i in range(depths[1]):
             x = ConvBN(ch[1], 3, act=nn.relu, dtype=self.dtype,
                        pad_mode=pm, name=f"layer2_{i}")(x, train)

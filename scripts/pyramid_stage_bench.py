@@ -90,6 +90,22 @@ def main():
     def feats_bf16(img):
         return model_bf.apply(variables, img, method=model_bf.features)
 
+    cfg_s2d = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem_s2d=True))
+    model_s2d = BANet(cfg_s2d)
+
+    def feats_s2d(img):
+        return model_s2d.apply(variables, img, method=model_s2d.features)
+
+    cfg_all = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, stem_s2d=True, conv_pad_mode="zero",
+            solver_feature_dtype="bfloat16"))
+    model_all = BANet(cfg_all)
+
+    def feats_all_knobs(img):
+        return model_all.apply(variables, img, method=model_all.features)
+
     def chain_sumall(fn):
         def run(k, img):
             def body(i, carry):
@@ -140,6 +156,8 @@ def main():
             ("features_full", chain_sumall(feats_fn)),
             ("features_zero_pad", chain_sumall(feats_zero_pad)),
             ("features_bf16_maps", chain_sumall(feats_bf16)),
+            ("features_s2d_stem", chain_sumall(feats_s2d)),
+            ("features_s2d_zero_bf16", chain_sumall(feats_all_knobs)),
             ("upsamples_interleave", make_ups(upsample2x_bilinear)),
             ("upsamples_conv_old", make_ups(upsample2x_bilinear_conv))]:
         t_s, t_b = timed(jfn, ks, img), timed(jfn, kb, img)
