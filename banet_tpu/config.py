@@ -227,6 +227,27 @@ def default_config() -> Config:
     return Config()
 
 
+def inference_config(cfg: Config,
+                     image_size: Optional[Tuple[int, int]] = None) -> Config:
+    """Flip inference-only LAYOUT knobs — same function, faster on TPU.
+
+    Currently: the space-to-depth stem (``ModelConfig.stem_s2d``,
+    models/stem_s2d.py) — numerically exact (kernels are re-indexed
+    views of the standard parameters), checkpoint-compatible, measured
+    0.25 ms faster per 256x320 feature pass on v5e
+    (artifacts/PROFILE_r02/stage_bench_r2.json).  Applied by the bench
+    and the CLI inference subcommands; the trainer must NOT use it
+    (training-mode BN needs the standard stem's statistics).
+
+    ``image_size``: when given, the knob is applied only if both dims
+    are even (the s2d phase grid needs even H and W).
+    """
+    if image_size is not None and (image_size[0] % 2 or image_size[1] % 2):
+        return cfg
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem_s2d=True))
+
+
 def legacy_tracker_config() -> Config:
     """Operating point of the legacy two-view tracker
     (legacy/ba.py:441: 1024 points; legacy/example.py:83 iters [5,8,12];
