@@ -55,6 +55,10 @@ def _cmd_odometry(args) -> int:
         from banet_tpu.data.scannet import ScanNetScene
 
         seq = ScanNetScene(args.sequence)
+    elif args.format == "kitti":
+        from banet_tpu.data.kitti import KittiOdometrySequence
+
+        seq = KittiOdometrySequence(args.sequence)
     else:
         from banet_tpu.data.tum import TumSequence
 
@@ -72,6 +76,9 @@ def _cmd_odometry(args) -> int:
         cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
             cfg.solver, level_iters=tuple(args.iters)))
     cfg = _apply_ckpt_model_config(cfg, args.checkpoint)
+    from banet_tpu.config import inference_config
+
+    cfg = inference_config(cfg, image_size=(H, W))
     tracker = TwoViewTracker.initialize(cfg, image_size=(H, W),
                                         num_points=args.num_points)
     if args.checkpoint:
@@ -104,7 +111,21 @@ def _cmd_odometry(args) -> int:
             args.tnet_checkpoint, tmpl)}
         print(f"restored TrackingNet init from {args.tnet_checkpoint}",
               file=sys.stderr)
-    runner = OdometryRunner(tracker, num_points=args.num_points,
+    kf_cfg = None
+    if args.max_time_gap is not None or args.min_keep_ratio is not None:
+        import dataclasses
+
+        from banet_tpu.config import KeyframeConfig
+
+        kf_cfg = KeyframeConfig()
+        if args.max_time_gap is not None:
+            kf_cfg = dataclasses.replace(kf_cfg,
+                                         max_time_gap=args.max_time_gap)
+        if args.min_keep_ratio is not None:
+            kf_cfg = dataclasses.replace(
+                kf_cfg, min_keep_ratio=args.min_keep_ratio)
+    runner = OdometryRunner(tracker, keyframe_cfg=kf_cfg,
+                            num_points=args.num_points,
                             window_ba=args.window_ba,
                             window_ba_mode=args.window_ba_mode,
                             tnet=tnet, tnet_variables=tnet_vars,
@@ -173,6 +194,9 @@ def _cmd_pairs(args) -> int:
         cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
             cfg.solver, level_iters=tuple(args.iters)))
     cfg = _apply_ckpt_model_config(cfg, args.checkpoint)
+    from banet_tpu.config import inference_config
+
+    cfg = inference_config(cfg, image_size=rgb0.shape[:2])
     tracker = TwoViewTracker.initialize(
         cfg, image_size=rgb0.shape[:2], num_points=args.num_points)
     if args.checkpoint:
@@ -253,8 +277,13 @@ def main(argv=None) -> int:
     po.add_argument("--num-points", type=int, default=1024)
     po.add_argument("--max-frames", type=int, default=100000)
     po.add_argument("--checkpoint", default=None)
-    po.add_argument("--format", choices=["tum", "scannet"],
+    po.add_argument("--format", choices=["tum", "scannet", "kitti"],
                     default="tum")
+    po.add_argument("--max-time-gap", type=float, default=None,
+                    help="keyframe re-key time gate [s] (default 0.1; "
+                         "KITTI's 10 Hz stream wants ~0.5)")
+    po.add_argument("--min-keep-ratio", type=float, default=None,
+                    help="keyframe re-key keep_ratio gate (default 0.8)")
     po.add_argument("--iters", type=int, nargs="+", default=None,
                     help="per-level GN iteration caps (early exit "
                          "makes extra iterations cheap; the reference "

@@ -132,6 +132,8 @@ def main():
     from banet_tpu.geometry.camera import Intrinsics
     from banet_tpu.models.banet import BANet
 
+    from banet_tpu.config import inference_config
+
     cfg = default_config()
     sidecar = os.path.join(os.path.dirname(TRAINED_CKPT),
                            "model_config.json")
@@ -141,6 +143,9 @@ def main():
         if overrides:
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, **overrides))
+    # Exact-parity inference layout knobs (space-to-depth stem):
+    # checkpoint-compatible, same function, faster on TPU.
+    cfg = inference_config(cfg, image_size=(H, W))
     model = BANet(cfg)
     cfg_exit = dataclasses.replace(
         cfg, solver=dataclasses.replace(cfg.solver,

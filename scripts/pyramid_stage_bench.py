@@ -42,6 +42,20 @@ def main():
     ap.add_argument("--num-points", type=int, default=1024)
     ap.add_argument("--k-small", type=int, default=2)
     ap.add_argument("--k-big", type=int, default=18)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batch size (batch-efficiency table)")
+    ap.add_argument("--per-stage", action="store_true",
+                    help="per-encoder-stage rows via DCE prefixes: a "
+                         "chain consuming only layer_k's output lets "
+                         "XLA dead-code-eliminate every later stage, "
+                         "so prefix differences attribute time per"
+                         "stage without touching the model")
+    ap.add_argument("--pad-mode", default=None,
+                    choices=["symmetric", "zero"])
+    ap.add_argument("--feature-dtype", default=None,
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem for the BASE config")
     ap.add_argument("--out", default=None,
                     help="optional JSON output path")
     args = ap.parse_args()
@@ -55,14 +69,26 @@ def main():
                                         upsample2x_bilinear_conv)
 
     cfg = default_config()
+    base_overrides = {}
+    if args.pad_mode:
+        base_overrides["conv_pad_mode"] = args.pad_mode
+    if args.feature_dtype:
+        base_overrides["solver_feature_dtype"] = args.feature_dtype
+    if args.s2d:
+        base_overrides["stem_s2d"] = True
+    if base_overrides:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **base_overrides))
+    B = args.batch
     model = BANet(cfg)
-    img0 = jnp.zeros((1, H, W, 3))
+    img0 = jnp.zeros((B, H, W, 3))
     intr = Intrinsics.from_array(
-        jnp.array([[0.8 * W, 0.8 * W, W / 2, H / 2]], jnp.float32))
+        jnp.tile(jnp.array([[0.8 * W, 0.8 * W, W / 2, H / 2]],
+                           jnp.float32), (B, 1)))
     pts0 = jnp.stack(
-        [jax.random.uniform(jax.random.PRNGKey(0), (1, N), minval=16.0,
+        [jax.random.uniform(jax.random.PRNGKey(0), (B, N), minval=16.0,
                             maxval=W - 16.0),
-         jax.random.uniform(jax.random.PRNGKey(1), (1, N), minval=16.0,
+         jax.random.uniform(jax.random.PRNGKey(1), (B, N), minval=16.0,
                             maxval=H - 16.0)], axis=-1)
     variables = model.init(jax.random.PRNGKey(2), img0, img0, intr, pts0)
 
@@ -121,8 +147,8 @@ def main():
 
     # Upsample-only: the FPN's upsamples chained on representative
     # shapes (seed C=256 at 1/16; then 128 at finer levels).
-    shapes = [(1, H // 16, W // 16, 256), (1, H // 8, W // 8, 128),
-              (1, H // 4, W // 4, 128), (1, H // 2, W // 2, 128)]
+    shapes = [(B, H // 16, W // 16, 256), (B, H // 8, W // 8, 128),
+              (B, H // 4, W // 4, 128), (B, H // 2, W // 2, 128)]
     ups_inputs = [jnp.ones(s, jnp.bfloat16) for s in shapes]
 
     def make_ups(fn):
@@ -148,10 +174,34 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    img = jax.random.uniform(jax.random.PRNGKey(9), (1, H, W, 3)) * 255.0
+    img = jax.random.uniform(jax.random.PRNGKey(9), (B, H, W, 3)) * 255.0
     ks, kb = args.k_small, args.k_big
     rows = []
-    for name, jfn in [
+
+    if args.per_stage:
+        # DCE-prefix attribution at the BASE config: consume only
+        # out[i]; the encoder is sequential, so XLA drops every later
+        # stage and the chain times exactly the prefix through layer_k.
+        def enc_prefix(i):
+            def fn(im):
+                return enc_fn(im)[i]
+            return fn
+
+        def dla_fn(im):
+            return model.apply(variables, im, method=model.depth_basis)
+
+        # enc_fn returns [layer6, layer5, layer4, layer3, layer2,
+        # layer1] (coarse -> fine).
+        prefix_names = [("prefix_layer1", 5), ("prefix_layer2", 4),
+                        ("prefix_layer3", 3), ("prefix_layer4", 2),
+                        ("prefix_layer5", 1), ("prefix_layer6", 0)]
+        cases = [(nm, chain_sumall(enc_prefix(i)))
+                 for nm, i in prefix_names]
+        cases += [("encoder_all_layers", chain_sumall(enc_fn)),
+                  ("features_full", chain_sumall(feats_fn)),
+                  ("depth_basis_dla", chain_sumall(dla_fn))]
+    else:
+        cases = [
             ("encoder_all_layers", chain_sumall(enc_fn)),
             ("features_full", chain_sumall(feats_fn)),
             ("features_zero_pad", chain_sumall(feats_zero_pad)),
@@ -159,7 +209,9 @@ def main():
             ("features_s2d_stem", chain_sumall(feats_s2d)),
             ("features_s2d_zero_bf16", chain_sumall(feats_all_knobs)),
             ("upsamples_interleave", make_ups(upsample2x_bilinear)),
-            ("upsamples_conv_old", make_ups(upsample2x_bilinear_conv))]:
+            ("upsamples_conv_old", make_ups(upsample2x_bilinear_conv))]
+
+    for name, jfn in cases:
         t_s, t_b = timed(jfn, ks, img), timed(jfn, kb, img)
         row = {"stage": name,
                "per_call_ms": round((t_b - t_s) / (kb - ks) * 1e3, 4)}
