@@ -5,10 +5,11 @@ layer"); its drivers are editable scripts with hardcoded paths
 (legacy/example.py, legacy/seq_example.py, legacy/eval.py).  This
 module exposes the same workflows as subcommands:
 
-  python -m banet_tpu.cli odometry  <tum_seq_dir> [--out traj.txt] ...
+  python -m banet_tpu.cli odometry  <seq_dir> [--format tum|scannet|kitti]
   python -m banet_tpu.cli evaluate  <gt.txt> <est.txt> [--rpe-delta S]
+  python -m banet_tpu.cli pairs     <tum_seq_dir> [--stride S] ...
+  python -m banet_tpu.cli depth     <tum_seq_dir> [--stride S] ...
   python -m banet_tpu.cli train     [--steps N] [--synthetic] ...
-  python -m banet_tpu.cli bench     (defers to bench.py)
 
 Checkpoints restore via utils.checkpoint (optimistic partial restore),
 so an encoder-only checkpoint also works.
@@ -225,6 +226,53 @@ def _cmd_pairs(args) -> int:
     return 0
 
 
+def _cmd_depth(args) -> int:
+    """Depth-map evaluation over a TUM-format sequence: run monocular
+    two-view bundle adjustment on frame pairs and score the initial and
+    basis-refined depth maps against the sensor depth (the BA-Net
+    paper's depth metric set; eval/depth_eval.py)."""
+    from banet_tpu.config import default_config, inference_config
+    from banet_tpu.data.tum import TumSequence
+    from banet_tpu.eval.depth_eval import (evaluate_depth_pairs,
+                                           summarize_depth)
+    from banet_tpu.tracking import TwoViewTracker
+
+    seq = TumSequence(args.sequence)
+    frames = seq.frames
+    if len(frames) < args.stride + 1:
+        print("not enough frames", file=sys.stderr)
+        return 1
+    rgb0 = frames[0].load_rgb()
+    cfg = default_config()
+    cfg = _apply_ckpt_model_config(cfg, args.checkpoint)
+    cfg = inference_config(cfg, image_size=rgb0.shape[:2])
+    tracker = TwoViewTracker.initialize(
+        cfg, image_size=rgb0.shape[:2], num_points=args.num_points)
+    if args.checkpoint:
+        from banet_tpu.utils.checkpoint import optimistic_restore
+
+        merged, restored, skipped = optimistic_restore(
+            args.checkpoint, tracker.variables)
+        tracker.variables = merged
+        print(f"restored {len(restored)} vars, skipped {len(skipped)}",
+              file=sys.stderr)
+
+    def make_pairs():
+        starts = list(range(0, len(frames) - args.stride,
+                            args.stride))[:args.max_pairs]
+        for i in starts:
+            a, b = frames[i], frames[i + args.stride]
+            yield dict(image1=a.load_rgb(), image2=b.load_rgb(),
+                       depth1=a.load_depth())
+
+    results = evaluate_depth_pairs(tracker, make_pairs(),
+                                   seq.intrinsics,
+                                   num_points=args.num_points,
+                                   max_depth=args.max_depth)
+    print(json.dumps(summarize_depth(results), indent=2))
+    return 0
+
+
 def _cmd_train(args) -> int:
     import jax
 
@@ -333,6 +381,18 @@ def main(argv=None) -> int:
                     help="save per-pair correspondence + warp-diff "
                          "panels (PNG) here")
     pp.set_defaults(fn=_cmd_pairs)
+
+    pd = sub.add_parser("depth", help="depth-map metrics (abs-rel, "
+                        "RMSE, deltas) of monocular two-view BA on a "
+                        "TUM sequence")
+    pd.add_argument("sequence")
+    pd.add_argument("--stride", type=int, default=5)
+    pd.add_argument("--num-points", type=int, default=1024)
+    pd.add_argument("--max-pairs", type=int, default=20)
+    pd.add_argument("--max-depth", type=float, default=10.0,
+                    help="indoor RGB-D cap (use 80 for KITTI-like)")
+    pd.add_argument("--checkpoint", default=None)
+    pd.set_defaults(fn=_cmd_depth)
 
     pt = sub.add_parser("train", help="train (synthetic data)")
     pt.add_argument("--steps", type=int, default=10)

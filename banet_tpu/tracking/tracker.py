@@ -65,7 +65,8 @@ class TwoViewTracker:
             intr = Intrinsics.from_array(k)
             out = self.model.apply(variables, img1, img2, intr, points,
                                    method=self.model.bundle_adjust)
-            return out["R"], out["t"], out["refined_depth_map"]
+            return (out["R"], out["t"], out["refined_depth_map"],
+                    out["init_depth_map"])
 
         self._track = _track
         self._keyframe_features = _keyframe_features
@@ -134,8 +135,24 @@ class TwoViewTracker:
                                             num_points)
         pts = _batched(np.asarray(points, np.float32), 3)
         k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
-        R, t, depth = self._bundle(self.variables, img1, img2, k, pts)
+        R, t, depth, _init = self._bundle(self.variables, img1, img2, k,
+                                          pts)
         return np.asarray(R), np.asarray(t), np.asarray(depth[..., 0])
+
+    def bundle_depth(self, image1, image2, intrinsics, points):
+        """Monocular two-view BA returning BOTH depth maps: the depth
+        head's initial prediction and the basis-refined map
+        (init_depth + basis @ W, reference bundlenet.py:397) — the
+        quantities the BA-Net paper's depth evaluation scores
+        (eval/depth_eval.py).  Returns (init (B,H/2,W/2),
+        refined (B,H/2,W/2)) numpy."""
+        img1 = _batched(image1, 4)
+        img2 = _batched(image2, 4)
+        pts = _batched(np.asarray(points, np.float32), 3)
+        k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
+        _R, _t, refined, init = self._bundle(self.variables, img1, img2,
+                                             k, pts)
+        return np.asarray(init[..., 0]), np.asarray(refined[..., 0])
 
     def set_keyframe(self, image, intrinsics, points, depths) -> None:
         """Cache the keyframe's per-level point features; subsequent

@@ -63,8 +63,16 @@ PEAK_FLOPS = 197e12  # TPU v5e bf16
 HBM_BPS = 819e9      # TPU v5e HBM bandwidth
 H, W, N = 256, 320, 1024
 REPEATS = 4
-TRAINED_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "artifacts", "campaign_r4", "ckpt_ema")
+_ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "artifacts")
+# Latest shipped campaign first (r5 = the fast-layout retrain: zero conv
+# padding + bf16 solver feature maps, accuracy-verified in
+# artifacts/campaign_r5/trajectory_eval*.json), older as fallback.
+TRAINED_CKPT = next(
+    (p for p in (os.path.join(_ART, "campaign_r5", "ckpt_ema"),
+                 os.path.join(_ART, "campaign_r4", "ckpt_ema"))
+     if os.path.isdir(p)),
+    os.path.join(_ART, "campaign_r4", "ckpt_ema"))
 
 
 def algorithmic_cost(fn, *args):

@@ -55,6 +55,12 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="solver feature-map dtype "
                          "(ModelConfig.solver_feature_dtype)")
+    ap.add_argument("--resume-from-step", type=int, default=0,
+                    help="restore <out>/ckpt (params+batch_stats) and "
+                         "<out>/ckpt_ema (EMA params) and continue the "
+                         "curriculum at this step (a relay hang can "
+                         "strand a run mid-campaign; optimizer moments "
+                         "restart fresh, a brief Adam transient)")
     args = ap.parse_args()
 
     import dataclasses
@@ -69,7 +75,11 @@ def main():
     cfg = default_config()
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
-            cfg.train, learning_rate=args.lr, total_steps=args.steps,
+            cfg.train, learning_rate=args.lr,
+            # On resume the optimizer (and its schedule counter)
+            # restarts at 0; shorten the cosine period so the decay
+            # still completes by the final step.
+            total_steps=args.steps - args.resume_from_step,
             lr_schedule="cosine"))
     overrides = {}
     if args.pad_mode:
@@ -86,6 +96,20 @@ def main():
     model, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                       image_size=(H, W),
                                       num_points=args.num_points)
+    ema0 = None
+    if args.resume_from_step:
+        from banet_tpu.utils.checkpoint import restore_checkpoint
+
+        tmpl = {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)}
+        got = restore_checkpoint(os.path.join(args.out, "ckpt"), tmpl)
+        state = state.replace(params=got["params"],
+                              batch_stats=got["batch_stats"])
+        got_ema = restore_checkpoint(os.path.join(args.out, "ckpt_ema"),
+                                     tmpl)
+        ema0 = got_ema["params"]
+        print(json.dumps({"resumed_from": args.resume_from_step}),
+              flush=True)
     step_fn = jax.jit(make_train_step(model, cfg))
 
     @jax.jit
@@ -114,11 +138,11 @@ def main():
         return jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
                             ema, params)
 
-    ema = state.params
+    ema = ema0 if ema0 is not None else state.params
     t_start = time.time()
     log_path = os.path.join(args.out, "metrics.jsonl")
     with open(log_path, "a") as logf:
-        for i in range(args.steps):
+        for i in range(args.resume_from_step, args.steps):
             frac = i / max(args.steps - 1, 1)
             # Curriculum: motion + photometric difficulty ramp.
             # Ramp to rot 0.05 rad / trans 0.08 m so the distribution
