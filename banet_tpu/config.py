@@ -80,6 +80,11 @@ class SolverConfig:
     # inference-only (the kernel is not differentiated), so the trainer
     # ignores it.  Off by default until a TPU toolchain is present.
     fused_tail: bool = False
+    # Run the damping-net MLP as ONE fused Pallas program
+    # (ops/pallas_damping.py, weights resident in VMEM) instead of ~12
+    # small XLA ops per GN iteration.  Inference-only (the kernel has
+    # no VJP); the trainer ignores it.
+    fused_damping: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

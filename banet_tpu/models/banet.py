@@ -25,6 +25,7 @@ bundlenet.py:168,244).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
@@ -182,7 +183,21 @@ class BANet(nn.Module):
                 # are created eagerly; creating them inside the scan body
                 # leaks tracers out of the scan trace.
                 net(jnp.zeros((1, self.cfg.model.pyramid_channels)))
-            fns.append(net)
+            if (self.cfg.solver.fused_damping
+                    and not self.is_initializing()):
+                # One Pallas program instead of ~12 small XLA ops per
+                # iteration (ops/pallas_damping.py); inference-only —
+                # the kernel has no VJP, so trainers keep the knob off.
+                from banet_tpu.ops.pallas_damping import damping_pallas
+
+                params = net.variables["params"]
+                interp = jax.default_backend() != "tpu"
+                fns.append(functools.partial(
+                    damping_pallas, params,
+                    exponent_base=self.cfg.model.damping_exponent_base,
+                    interpret=interp))
+            else:
+                fns.append(net)
         return fns
 
     # ---------------- BA layers ----------------

@@ -138,6 +138,17 @@ def main():
         pairs = run_cli(pair_args)
         results[name] = {"odometry": odo, "ate_rpe": ate,
                          "pairs": pairs}
+        if tnet is None:
+            # Depth-map metrics of monocular two-view BA (the paper's
+            # depth evaluation; eval/depth_eval.py) — skipped for the
+            # hybrid conditions, whose delta is pose-only.
+            depth_args = ["depth", args.seq_dir,
+                          "--stride", str(args.pair_stride),
+                          "--num-points", str(args.num_points),
+                          "--max-pairs", str(min(args.max_pairs, 10))]
+            if ckpt:
+                depth_args += ["--checkpoint", ckpt]
+            results[name]["depth"] = run_cli(depth_args)
         print(json.dumps({name: ate.get("ate_rmse")}), flush=True)
 
     art = {"sequence": {"dir": args.seq_dir, "frames": args.frames,

@@ -32,3 +32,36 @@ def test_zero_residual_guard():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4)
     assert bool(jnp.all(jnp.isfinite(got)))
+
+
+def test_fused_damping_tracker_equivalence():
+    """SolverConfig.fused_damping wired through the flagship: the full
+    pose_track output must match the Flax damping path (on CPU the
+    kernel runs in interpret mode, so this is exact-math parity of the
+    WIRING, not a perf test)."""
+    import dataclasses
+
+    from banet_tpu.config import default_config
+    from banet_tpu.tracking import TwoViewTracker
+
+    H, W, N = 64, 96, 64
+    cfg = default_config()
+    tracker = TwoViewTracker.initialize(cfg, image_size=(H, W),
+                                        num_points=N)
+    cfg_f = dataclasses.replace(cfg, solver=dataclasses.replace(
+        cfg.solver, fused_damping=True))
+    tracker_f = TwoViewTracker(cfg_f, tracker.variables)
+
+    rng = np.random.default_rng(0)
+    img1 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    k = np.asarray([W * 0.8, W * 0.8, W / 2, H / 2], np.float32)
+    pts = np.stack([rng.uniform(4, W - 4, N),
+                    rng.uniform(4, H - 4, N)], -1).astype(np.float32)
+    d = rng.uniform(1.0, 3.0, N).astype(np.float32)
+
+    R0, t0, keep0 = tracker.track(img1, img2, k, pts, d)
+    R1, t1, keep1 = tracker_f.track(img1, img2, k, pts, d)
+    np.testing.assert_allclose(R1, R0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(t1, t0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(keep1, keep0)
