@@ -195,11 +195,11 @@ def main():
         prefix_names = [("prefix_layer1", 5), ("prefix_layer2", 4),
                         ("prefix_layer3", 3), ("prefix_layer4", 2),
                         ("prefix_layer5", 1), ("prefix_layer6", 0)]
-        cases = [(nm, chain_sumall(enc_prefix(i)))
-                 for nm, i in prefix_names]
-        cases += [("encoder_all_layers", chain_sumall(enc_fn)),
-                  ("features_full", chain_sumall(feats_fn)),
-                  ("depth_basis_dla", chain_sumall(dla_fn))]
+        cases_fns = [(nm, enc_prefix(i)) for nm, i in prefix_names]
+        cases_fns += [("encoder_all_layers", enc_fn),
+                      ("features_full", feats_fn),
+                      ("depth_basis_dla", dla_fn)]
+        cases = [(nm, chain_sumall(fn)) for nm, fn in cases_fns]
     else:
         cases = [
             ("encoder_all_layers", chain_sumall(enc_fn)),
@@ -211,10 +211,35 @@ def main():
             ("upsamples_interleave", make_ups(upsample2x_bilinear)),
             ("upsamples_conv_old", make_ups(upsample2x_bilinear_conv))]
 
+    def algo_gflops(fn):
+        """Algorithmic FLOPs of one call from a CPU-backend lowering
+        (the TPU compile reports MXU-padded FLOPs; bench.py docstring
+        honesty rule #1)."""
+        aval = jax.ShapeDtypeStruct(img.shape, img.dtype)
+        cpu = jax.devices("cpu")[0]
+
+        def once(im):
+            out = fn(im)
+            if not isinstance(out, (list, tuple)):
+                out = [out]
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+
+        with jax.default_device(cpu):
+            c = jax.jit(once).lower(aval).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else (c or {})
+        return float(c.get("flops", 0.0)) / 1e9
+
+    stage_fns = dict(cases_fns) if args.per_stage else {}
     for name, jfn in cases:
         t_s, t_b = timed(jfn, ks, img), timed(jfn, kb, img)
         row = {"stage": name,
                "per_call_ms": round((t_b - t_s) / (kb - ks) * 1e3, 4)}
+        if name in stage_fns:
+            try:
+                row["algo_gflops"] = round(algo_gflops(stage_fns[name]),
+                                           3)
+            except Exception as e:
+                row["algo_gflops_error"] = type(e).__name__
         rows.append(row)
         print(json.dumps(row), flush=True)
     if args.out:
