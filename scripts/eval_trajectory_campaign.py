@@ -32,15 +32,37 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(cli_args, timeout=3600):
-    """Run a banet_tpu CLI subcommand; return the last stdout JSON."""
+def run_cli(cli_args, timeout=3600, retries=3):
+    """Run a banet_tpu CLI subcommand; return the last stdout JSON.
+
+    Retries with backoff: the device relay can refuse new connections
+    for a window after another client disconnects (observed as
+    "Backend 'axon' is not in the list of known backends" in the
+    subprocess), and such transients must not kill an hour-long
+    campaign."""
+    import time
+
     cmd = [sys.executable, "-m", "banet_tpu.cli"] + cli_args
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND to PYTHONPATH — replacing it drops entries the device
+    # plugin needs (here: a sitecustomize dir that registers the
+    # relay backend; overwriting it made every child die with
+    # "Backend 'axon' is not in the list of known backends").
+    old_pp = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ,
+               PYTHONPATH=REPO + (os.pathsep + old_pp if old_pp else ""))
     print("+ " + " ".join(cli_args), flush=True)
-    proc = subprocess.run(cmd, capture_output=True, text=True,
-                          timeout=timeout, env=env, cwd=REPO)
-    if proc.returncode != 0:
+    for attempt in range(retries):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout, env=env, cwd=REPO)
+        if proc.returncode == 0:
+            break
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        if attempt + 1 < retries:
+            wait = 60 * (attempt + 1)
+            print(f"retrying {cli_args[0]} in {wait}s "
+                  f"(attempt {attempt + 2}/{retries})", flush=True)
+            time.sleep(wait)
+    if proc.returncode != 0:
         raise RuntimeError(f"CLI failed: {cli_args[0]}")
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
