@@ -76,12 +76,47 @@ def bundle_gn_step(
     J = jnp.concatenate([J_cam, J_w], axis=-1)  # (B, N, 2, 6+K)
 
     AtA, Atb = build_normal_equations(J, wr.G, wr.residual)
+    if cfg.bundle_w_prior_rel > 0.0:
+        # Depth prior: anchor Delta-W to 0 (= trust the depth head)
+        # with an ABSOLUTE Tikhonov term sized by the W block's mean
+        # curvature; see SolverConfig.bundle_w_prior_rel.
+        K = W.shape[-1]
+        diag_w = jnp.diagonal(AtA, axis1=-2, axis2=-1)[..., 6:]
+        mu = cfg.bundle_w_prior_rel * jnp.mean(diag_w, axis=-1)
+        block = jnp.concatenate(
+            [jnp.zeros((6,), AtA.dtype), jnp.ones((K,), AtA.dtype)])
+        AtA = AtA + mu[:, None, None] * jnp.diag(block)
     delta = -damped_solve(AtA, Atb, lam, cfg.diag_floor,
                           damp_last=cfg.damp_last_diag)
     R_new, t_new = se3_update(R, t, delta[:, :6])
     W_new = W + delta[:, 6:]
+    res_before = jnp.mean(avg_r, axis=-1)
+    if cfg.bundle_reject_bad_steps:
+        # Step rejection, as the pose path has (legacy/ba.py:304-345).
+        # The reference's BundleIteration never checks its step — but a
+        # two-view monocular (6+K) solve has a near-null scale-gauge
+        # direction (translation magnitude vs. depth scale), and with
+        # small residuals the relative LM damping leaves it effectively
+        # unregularized: measured W steps of ~1e2 that drive the
+        # refined depth negative on small-baseline pairs.  Re-warp at
+        # the proposal and keep it only if the residual decreases.
+        depth_new = init_depth + jnp.einsum("bnk,bk->bn", basis, W_new)
+        wr_after = warp_residuals(ref_feats, tgt_feats_grad, rays,
+                                  depth_new, R_new, t_new, intr,
+                                  footprint=footprint_hw)
+        # The accept test MUST renormalize by the valid-point count and
+        # gate on keep_ratio: a depth step that throws points out of
+        # bounds zeroes their residual contribution, so the plain mean
+        # would reward ejecting the point set from the image.
+        res_b = jnp.mean(wr.avg_abs_residual(True), axis=-1)
+        res_a = jnp.mean(wr_after.avg_abs_residual(True), axis=-1)
+        accept = ((res_a < cfg.residual_ratio * res_b) &
+                  (wr_after.keep_ratio >= 0.8 * wr.keep_ratio))
+        R_new = jnp.where(accept[:, None, None], R_new, R)
+        t_new = jnp.where(accept[:, None], t_new, t)
+        W_new = jnp.where(accept[:, None], W_new, W)
     aux = BundleStepAux(
-        residual_before=jnp.mean(avg_r, axis=-1),
+        residual_before=res_before,
         keep_ratio=wr.keep_ratio,
         lam=lam,
     )

@@ -40,12 +40,36 @@ class SolverConfig:
     # (legacy/ba.py:8,343-345).
     residual_ratio: float = 1.0
     reject_bad_steps: bool = True
+    # Step rejection for the joint pose+depth BUNDLE step (the
+    # reference's BundleIteration never checks its step;
+    # ba/bundle_solver.py explains why unguarded steps diverge on
+    # ill-conditioned small-baseline pairs).  The trainer forces this
+    # False: rejected steps pass zero gradient, and the validated
+    # training recipe (artifacts/README.md campaign_r4) trains through
+    # unguarded steps.
+    bundle_reject_bad_steps: bool = True
     # Base multiplier on the learned damping for the joint pose+depth
     # solve (reference bundlenet.py:393 uses 1000.0).
     bundle_damping_base: float = 1000.0
-    # Keep the reference quirk of leaving the last diagonal entry of the
-    # (6+K) bundle system undamped (reference bundlenet.py:266).
-    damp_last_diag: bool = False
+    # Absolute Tikhonov prior on the basis-coefficient block: adds
+    # rel * mean(diag(AtA)_W) to the W diagonal, anchoring the refined
+    # depth to the depth head's prediction.  LM damping is RELATIVE to
+    # the diagonal, so a near-null direction (two-view small-baseline
+    # scale gauge: depth -> +-inf barely changes the warp) stays
+    # effectively unregularized without this — measured |W| ~ 1e2 steps
+    # driving the refined depth negative while the feature residual
+    # DECREASES (the step rides the unobservable direction).  The
+    # reference has no such prior (its BundleIteration was only ever
+    # exercised under training supervision).
+    bundle_w_prior_rel: float = 0.01
+    # True = damp every diagonal entry of the (6+K) bundle system.
+    # False reproduces the reference quirk of leaving the LAST basis
+    # coefficient completely unregularized (reference bundlenet.py:266)
+    # — measured to explode the refined depth (||W|| ~ 1e8) whenever the
+    # last basis channel has near-zero Jacobian energy at the sampled
+    # points, so the sane behavior is the default and the quirk stays
+    # available for parity studies.
+    damp_last_diag: bool = True
     # Small absolute floor added to the diagonal before scaling by the
     # learned lambda (reference bundlenet.py:182,266: diag + 1e-5).
     diag_floor: float = 1e-5

@@ -47,6 +47,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def create_train_state(cfg: Config, rng, image_size=(64, 96),
                        num_points: int = 32) -> Tuple[BANet, TrainState]:
+    # Train through UNGUARDED bundle steps: rejected steps pass zero
+    # gradient into the basis/depth path, and the validated campaign
+    # recipe (artifacts/README.md) was trained without rejection.
+    # Inference keeps SolverConfig.bundle_reject_bad_steps.
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
+        cfg.solver, bundle_reject_bad_steps=False))
     model = BANet(cfg)
     H, W = image_size
     img = jnp.zeros((1, H, W, 3))

@@ -176,7 +176,8 @@ def main():
             variables, restored, _skipped = optimistic_restore(
                 TRAINED_CKPT, variables)
             if restored:
-                weights = "campaign_r4_ema"
+                weights = os.path.basename(os.path.dirname(
+                    TRAINED_CKPT)) + "_ema"
         except Exception as e:  # relay-independent; never kill the bench
             weights = f"random_init (restore failed: {type(e).__name__})"
 

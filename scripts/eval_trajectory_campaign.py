@@ -99,6 +99,9 @@ def main():
     ap.add_argument("--tnet-samples", type=int, default=16)
     ap.add_argument("--tnet-mode", choices=["rescue", "always"],
                     default="rescue")
+    ap.add_argument("--triage", action="store_true",
+                    help="trajectory-only (skip pairs + depth): fast "
+                         "ATE triage of a candidate checkpoint")
     ap.add_argument("--out",
                     default="artifacts/campaign_r2/trajectory_eval.json")
     args = ap.parse_args()
@@ -149,6 +152,10 @@ def main():
         ate = run_cli(["evaluate",
                        os.path.join(args.seq_dir, "groundtruth.txt"),
                        traj, "--rpe-delta", "1", "--rpe-unit", "f"])
+        if args.triage:
+            results[name] = {"odometry": odo, "ate_rpe": ate}
+            print(json.dumps({name: ate.get("ate_rmse")}), flush=True)
+            continue
         pair_args = ["pairs", args.seq_dir,
                      "--stride", str(args.pair_stride),
                      "--num-points", str(args.num_points),
