@@ -494,6 +494,42 @@ class BANet(nn.Module):
         return dict(Rs_f=Rs_f, ts_f=ts_f, Rs_k=Rs_k, ts_k=ts_k, Ws=Ws,
                     residual_history=hist)
 
+    def monocular_bundle(self, image_ref, image_tgt, intr,
+                         points: jnp.ndarray, train: bool = False):
+        """Monocular two-view pipeline: pose first, then bundle
+        (reference CameraResize -> BundleResize order,
+        bundlenet.py:280-399).  No sensor depth: the depth head's
+        prediction supplies the pose cascade's point depths, the full
+        coarse-to-fine pose solve absorbs the baseline, and the joint
+        (6+K) bundle refinement starts from the TRACKED pose.  Running
+        the bundle step from identity instead cannot absorb a real
+        baseline, and on small baselines the two-view scale gauge makes
+        identity-init refinement unidentifiable (ba/bundle_solver.py).
+
+        One encoder pass per image, shared across FPN + DLA.
+        Returns the ``bundle_adjust`` dict + pose_R/pose_t/pose_aux.
+        """
+        layers_ref = self.encoder(image_ref, train)
+        layers_tgt = self.encoder(image_tgt, train)
+        feats_ref = self.features_from_layers(layers_ref, train)
+        feats_tgt = self.features_from_layers(layers_tgt, train)
+        db = self.depth_basis_from_layers(layers_ref, train)
+        pts_half = points / 2.0
+        d0 = bilinear_sample(jax.lax.stop_gradient(db[0]),
+                             pts_half[..., 0], pts_half[..., 1])[..., 0]
+        d0 = jnp.maximum(d0, 0.01)
+        R, t, aux = self.pose_track(image_ref, image_tgt, intr, points,
+                                    d0, train=train,
+                                    feats_ref=feats_ref,
+                                    feats_tgt=feats_tgt)
+        out = self.bundle_adjust(image_ref, image_tgt, intr, points,
+                                 R0=R, t0=t, train=train,
+                                 feats_ref=feats_ref,
+                                 feats_tgt=feats_tgt,
+                                 depth_basis_maps=db)
+        out.update(pose_R=R, pose_t=t, pose_aux=aux)
+        return out
+
     def __call__(self, image_ref, image_tgt, intr, points, train=False,
                  point_depths=None):
         """Init/forward path touching every submodule (all pyramid-level

@@ -64,7 +64,7 @@ class TwoViewTracker:
         def _bundle(variables, img1, img2, k, points):
             intr = Intrinsics.from_array(k)
             out = self.model.apply(variables, img1, img2, intr, points,
-                                   method=self.model.bundle_adjust)
+                                   method=self.model.monocular_bundle)
             return (out["R"], out["t"], out["refined_depth_map"],
                     out["init_depth_map"])
 
