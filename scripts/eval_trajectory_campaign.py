@@ -171,8 +171,11 @@ def main():
             # Depth-map metrics of monocular two-view BA (the paper's
             # depth evaluation; eval/depth_eval.py) — skipped for the
             # hybrid conditions, whose delta is pose-only.
+            # Depth needs a real baseline: two-view depth refinement is
+            # near-unidentifiable at tiny parallax (ba/bundle_solver.py),
+            # so score it at 3x the pose-pair stride.
             depth_args = ["depth", args.seq_dir,
-                          "--stride", str(args.pair_stride),
+                          "--stride", str(3 * args.pair_stride),
                           "--num-points", str(args.num_points),
                           "--max-pairs", str(min(args.max_pairs, 10))]
             if ckpt:

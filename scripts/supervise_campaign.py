@@ -67,7 +67,8 @@ def main():
         print(f"[supervisor] launching (resume={resume}): "
               + " ".join(cmd), flush=True)
         proc = subprocess.Popen(cmd, cwd=REPO)
-        last_step, last_change = -1, time.time()
+        step0 = last_logged_step(metrics)  # pre-existing log content
+        last_step, last_change = step0, time.time()
         while True:
             rc = proc.poll()
             if rc is not None:
@@ -76,10 +77,10 @@ def main():
             step = last_logged_step(metrics)
             if step != last_step:
                 last_step, last_change = step, time.time()
-            # Generous first-compile allowance: no stall verdict until
-            # something was logged OR 15 minutes passed.
-            stall_budget = (args.stall_seconds if last_step >= 0
-                            and step > 0 else 900.0)
+            # Generous allowance until THIS process logs its first new
+            # step (remote compile takes minutes).
+            stall_budget = (args.stall_seconds if step > step0
+                            else 1200.0)
             if time.time() - last_change > stall_budget:
                 print(f"[supervisor] stalled at step {step} "
                       f"({stall_budget:.0f}s without progress); "
