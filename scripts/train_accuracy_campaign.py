@@ -73,13 +73,18 @@ def main():
 
     H, W = args.image_size
     cfg = default_config()
+    # Exact resume (ckpt_full present) restores the optimizer state
+    # including the schedule counter, so the cosine period stays the
+    # full run; the legacy params-only resume restarts the counter at 0
+    # and shortens the period so the decay still completes.
+    exact_resume = bool(args.resume_from_step) and os.path.isdir(
+        os.path.join(args.out, "ckpt_full"))
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
             cfg.train, learning_rate=args.lr,
-            # On resume the optimizer (and its schedule counter)
-            # restarts at 0; shorten the cosine period so the decay
-            # still completes by the final step.
-            total_steps=args.steps - args.resume_from_step,
+            total_steps=(args.steps if exact_resume or
+                         not args.resume_from_step
+                         else args.steps - args.resume_from_step),
             lr_schedule="cosine"))
     overrides = {}
     if args.pad_mode:
@@ -97,19 +102,52 @@ def main():
                                       image_size=(H, W),
                                       num_points=args.num_points)
     ema0 = None
+    full_path = os.path.join(args.out, "ckpt_full")
+
+    def opt_leaves(opt_state):
+        # optax states are NamedTuples, which orbax round-trips as
+        # lists; store flat numbered leaves and rebuild with the fresh
+        # state's treedef instead.
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        return {f"leaf_{i:04d}": jax.device_get(x)
+                for i, x in enumerate(leaves)}
+
+    def opt_unflatten(template_opt_state, leaf_dict):
+        treedef = jax.tree_util.tree_structure(template_opt_state)
+        leaves = [leaf_dict[k] for k in sorted(leaf_dict)]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     if args.resume_from_step:
         from banet_tpu.utils.checkpoint import restore_checkpoint
 
         tmpl = {"params": jax.device_get(state.params),
                 "batch_stats": jax.device_get(state.batch_stats)}
-        got = restore_checkpoint(os.path.join(args.out, "ckpt"), tmpl)
-        state = state.replace(params=got["params"],
-                              batch_stats=got["batch_stats"])
-        got_ema = restore_checkpoint(os.path.join(args.out, "ckpt_ema"),
+        if os.path.isdir(full_path):
+            # EXACT resume: optimizer moments + schedule position +
+            # EMA restored, so a relay-hang restart is seamless (no
+            # Adam transient, no LR kink).
+            full_tmpl = dict(tmpl,
+                             opt_state=opt_leaves(state.opt_state),
+                             ema=tmpl["params"])
+            got = restore_checkpoint(full_path, full_tmpl)
+            state = state.replace(
+                params=got["params"],
+                batch_stats=got["batch_stats"],
+                opt_state=opt_unflatten(state.opt_state,
+                                        got["opt_state"]))
+            ema0 = got["ema"]
+            print(json.dumps({"resumed_from": args.resume_from_step,
+                              "exact": True}), flush=True)
+        else:
+            got = restore_checkpoint(os.path.join(args.out, "ckpt"),
                                      tmpl)
-        ema0 = got_ema["params"]
-        print(json.dumps({"resumed_from": args.resume_from_step}),
-              flush=True)
+            state = state.replace(params=got["params"],
+                                  batch_stats=got["batch_stats"])
+            got_ema = restore_checkpoint(
+                os.path.join(args.out, "ckpt_ema"), tmpl)
+            ema0 = got_ema["params"]
+            print(json.dumps({"resumed_from": args.resume_from_step,
+                              "exact": False}), flush=True)
     step_fn = jax.jit(make_train_step(model, cfg))
 
     @jax.jit
@@ -173,6 +211,12 @@ def main():
                     os.path.join(args.out, "ckpt_ema"),
                     {"params": jax.device_get(ema),
                      "batch_stats": jax.device_get(state.batch_stats)})
+                save_checkpoint(
+                    full_path,
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats),
+                     "opt_state": opt_leaves(state.opt_state),
+                     "ema": jax.device_get(ema)})
 
     variables = {"params": state.params,
                  "batch_stats": state.batch_stats}
