@@ -80,6 +80,11 @@ def _cmd_odometry(args) -> int:
     from banet_tpu.config import inference_config
 
     cfg = inference_config(cfg, image_size=(H, W))
+    if getattr(args, "feature_dtype", None):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, solver_feature_dtype=args.feature_dtype))
     tracker = TwoViewTracker.initialize(cfg, image_size=(H, W),
                                         num_points=args.num_points)
     if args.checkpoint:
@@ -327,6 +332,12 @@ def main(argv=None) -> int:
     po.add_argument("--checkpoint", default=None)
     po.add_argument("--format", choices=["tum", "scannet", "kitti"],
                     default="tum")
+    po.add_argument("--feature-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="override the solver feature-map dtype at "
+                         "inference (bf16 halves the sampled-map "
+                         "bytes; accuracy impact is measured, see "
+                         "ModelConfig.solver_feature_dtype)")
     po.add_argument("--max-time-gap", type=float, default=None,
                     help="keyframe re-key time gate [s] (default 0.1; "
                          "KITTI's 10 Hz stream wants ~0.5)")
