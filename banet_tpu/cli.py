@@ -77,9 +77,10 @@ def _cmd_odometry(args) -> int:
         cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
             cfg.solver, level_iters=tuple(args.iters)))
     cfg = _apply_ckpt_model_config(cfg, args.checkpoint)
-    from banet_tpu.config import inference_config
+    if not getattr(args, "no_fast_layout", False):
+        from banet_tpu.config import inference_config
 
-    cfg = inference_config(cfg, image_size=(H, W))
+        cfg = inference_config(cfg, image_size=(H, W))
     if getattr(args, "feature_dtype", None):
         import dataclasses
 
@@ -332,6 +333,9 @@ def main(argv=None) -> int:
     po.add_argument("--checkpoint", default=None)
     po.add_argument("--format", choices=["tum", "scannet", "kitti"],
                     default="tum")
+    po.add_argument("--no-fast-layout", action="store_true",
+                    help="skip inference_config (s2d stem) — layout "
+                         "A/B and debugging")
     po.add_argument("--feature-dtype", default=None,
                     choices=["float32", "bfloat16"],
                     help="override the solver feature-map dtype at "

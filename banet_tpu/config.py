@@ -258,23 +258,28 @@ def default_config() -> Config:
 
 def inference_config(cfg: Config,
                      image_size: Optional[Tuple[int, int]] = None) -> Config:
-    """Flip inference-only LAYOUT knobs — same function, faster on TPU.
+    """Flip inference-only FAST knobs; applied by the bench and the CLI
+    inference subcommands (the trainer must NOT use them).
 
-    Currently: the space-to-depth stem (``ModelConfig.stem_s2d``,
-    models/stem_s2d.py) — numerically exact (kernels are re-indexed
-    views of the standard parameters), checkpoint-compatible, measured
-    0.25 ms faster per 256x320 feature pass on v5e
-    (artifacts/PROFILE_r02/stage_bench_r2.json).  Applied by the bench
-    and the CLI inference subcommands; the trainer must NOT use it
-    (training-mode BN needs the standard stem's statistics).
-
-    ``image_size``: when given, the knob is applied only if both dims
-    are even (the s2d phase grid needs even H and W).
+    - space-to-depth stem (``ModelConfig.stem_s2d``, models/stem_s2d.py):
+      numerically EXACT (kernels are re-indexed views of the standard
+      parameters), checkpoint-compatible, measured 0.25 ms faster per
+      256x320 feature pass on v5e
+      (artifacts/PROFILE_r02/stage_bench_r2.json).  Needs even H and W
+      (skipped otherwise via ``image_size``).
+    - bf16 solver feature maps (``ModelConfig.solver_feature_dtype``):
+      halves the sampled-map bytes; NOT bit-exact but measured
+      accuracy-neutral on an f32-trained checkpoint (campaign_r5c
+      held-out trajectory: ATE 0.0117 f32 vs 0.0114 bf16 — within
+      run-to-run noise; artifacts/README.md round-3 table).  The CLI
+      ``--feature-dtype float32`` restores exact f32 maps.
     """
-    if image_size is not None and (image_size[0] % 2 or image_size[1] % 2):
-        return cfg
+    model_over = dict(solver_feature_dtype="bfloat16")
+    if image_size is None or (image_size[0] % 2 == 0
+                              and image_size[1] % 2 == 0):
+        model_over["stem_s2d"] = True
     return dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, stem_s2d=True))
+        cfg, model=dataclasses.replace(cfg.model, **model_over))
 
 
 def legacy_tracker_config() -> Config:

@@ -71,11 +71,13 @@ N = int(os.environ.get("BANET_BENCH_N", 1024))
 REPEATS = 4
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "artifacts")
-# Latest shipped campaign first (r5 = the fast-layout retrain: zero conv
-# padding + bf16 solver feature maps, accuracy-verified in
-# artifacts/campaign_r5/trajectory_eval*.json), older as fallback.
+# Latest shipped campaign first (r5c = zero conv padding, f32-trained;
+# bf16 solver maps + s2d stem come from inference_config — the round-3
+# checkpoint selection is recorded in artifacts/README.md), older as
+# fallback.
 TRAINED_CKPT = next(
-    (p for p in (os.path.join(_ART, "campaign_r5", "ckpt_ema"),
+    (p for p in (os.path.join(_ART, "campaign_r5c", "ckpt_ema"),
+                 os.path.join(_ART, "campaign_r5", "ckpt_ema"),
                  os.path.join(_ART, "campaign_r4", "ckpt_ema"))
      if os.path.isdir(p)),
     os.path.join(_ART, "campaign_r4", "ckpt_ema"))
