@@ -107,8 +107,11 @@ class SolverConfig:
     # Run the damping-net MLP as ONE fused Pallas program
     # (ops/pallas_damping.py, weights resident in VMEM) instead of ~12
     # small XLA ops per GN iteration.  Inference-only (the kernel has
-    # no VJP); the trainer ignores it.
-    fused_damping: bool = False
+    # no VJP); the trainer ignores it.  Default ON: the on-chip A/B
+    # (artifacts/PROFILE_r03/iter_slope_fused_damping.log) measured
+    # 0.0522 vs 0.0569 ms per full GN iteration in the real solve
+    # chain; exact-parity test in tests/test_pallas_damping.py.
+    fused_damping: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,8 +53,10 @@ def create_train_state(cfg: Config, rng, image_size=(64, 96),
     # Inference keeps SolverConfig.bundle_reject_bad_steps.
     import dataclasses
 
+    # fused_damping is inference-only (ops/pallas_damping.py has no
+    # VJP); force the differentiable Flax path regardless of default.
     cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
-        cfg.solver, bundle_reject_bad_steps=False))
+        cfg.solver, bundle_reject_bad_steps=False, fused_damping=False))
     model = BANet(cfg)
     H, W = image_size
     img = jnp.zeros((1, H, W, 3))
