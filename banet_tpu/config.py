@@ -111,7 +111,12 @@ class SolverConfig:
     # (artifacts/PROFILE_r03/iter_slope_fused_damping.log) measured
     # 0.0522 vs 0.0569 ms per full GN iteration in the real solve
     # chain; exact-parity test in tests/test_pallas_damping.py.
+    # On non-TPU backends the flag is a no-op (the numerically
+    # identical Flax path runs) unless fused_damping_interpret forces
+    # the interpret-mode kernel — that mode is for parity tests only;
+    # it is far too slow for real CPU inference.
     fused_damping: bool = True
+    fused_damping_interpret: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

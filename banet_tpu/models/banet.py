@@ -183,15 +183,21 @@ class BANet(nn.Module):
                 # are created eagerly; creating them inside the scan body
                 # leaks tracers out of the scan trace.
                 net(jnp.zeros((1, self.cfg.model.pyramid_channels)))
-            if (self.cfg.solver.fused_damping
-                    and not self.is_initializing()):
+            interp = jax.default_backend() != "tpu"
+            use_pallas = (self.cfg.solver.fused_damping
+                          and not self.is_initializing()
+                          and (not interp
+                               or self.cfg.solver.fused_damping_interpret))
+            if use_pallas:
                 # One Pallas program instead of ~12 small XLA ops per
                 # iteration (ops/pallas_damping.py); inference-only —
                 # the kernel has no VJP, so trainers keep the knob off.
+                # On non-TPU backends the flag falls through to the
+                # numerically identical Flax path (interpret mode is a
+                # parity-test device, far too slow for CPU inference).
                 from banet_tpu.ops.pallas_damping import damping_pallas
 
                 params = net.variables["params"]
-                interp = jax.default_backend() != "tpu"
                 fns.append(functools.partial(
                     damping_pallas, params,
                     exponent_base=self.cfg.model.damping_exponent_base,

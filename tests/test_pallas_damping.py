@@ -45,11 +45,12 @@ def test_fused_damping_tracker_equivalence():
     from banet_tpu.tracking import TwoViewTracker
 
     H, W, N = 64, 96, 64
-    cfg = default_config()
+    cfg = dataclasses.replace(default_config(), solver=dataclasses.replace(
+        default_config().solver, fused_damping=False))
     tracker = TwoViewTracker.initialize(cfg, image_size=(H, W),
                                         num_points=N)
     cfg_f = dataclasses.replace(cfg, solver=dataclasses.replace(
-        cfg.solver, fused_damping=True))
+        cfg.solver, fused_damping=True, fused_damping_interpret=True))
     tracker_f = TwoViewTracker(cfg_f, tracker.variables)
 
     rng = np.random.default_rng(0)
