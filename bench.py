@@ -393,9 +393,26 @@ def main():
             # drag 90+ MB through the relay during the CPU lowering.
             return model.apply(vs, img, method=model.features)
 
+        # The cost twin runs the Flax damping path: identical math and
+        # algorithmic FLOPs, but lowerable on the CPU backend (the
+        # fused Pallas program is TPU-only and would raise here).
+        model_cost = BANet(dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver,
+                                            fused_damping=False)))
+
+        def track_cached_cost(vs, ref_sampled, img2, k2, pts2, d2):
+            intr = Intrinsics.from_array(k2)
+            B = img2.shape[0]
+            R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+            t0 = jnp.zeros((B, 3))
+            R, t, aux = model_cost.apply(
+                vs, ref_sampled, img2, intr, pts2, d2, R0, t0,
+                method=model_cost.pose_track_cached)
+            return R, t, aux.keep_ratio
+
         gf_feats, _ = algorithmic_cost(feats_only, variables, i2)
         gf_cached, _ = algorithmic_cost(
-            lambda *a: track_cached(*a), variables, refs, i2, kk, ptsx, d)
+            track_cached_cost, variables, refs, i2, kk, ptsx, d)
         # Loop bodies are counted once per level; attribute the rest of
         # the (cached - features) delta to one GN iteration per level.
         gf_iter = max((gf_cached - gf_feats) / n_levels, 0.0)
