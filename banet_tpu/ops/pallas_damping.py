@@ -58,6 +58,39 @@ def _flatten_params(params: Dict) -> list:
     return out
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _damping_core(interpret, x, flat, base):
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
+        in_specs=[vspec] * 12,
+        out_specs=vspec,
+        interpret=interpret,
+    )(x, *flat, base)
+
+
+def _damping_core_fwd(interpret, x, flat, base):
+    return _damping_core(interpret, x, flat, base), None
+
+
+def _damping_core_bwd(interpret, res, g):
+    # Without this custom_vjp, autodiff through the solver scan dies
+    # deep inside Pallas with an opaque "no transpose rule" error; fail
+    # at the actual decision point instead (ADVICE r3 #2).
+    raise NotImplementedError(
+        "The fused Pallas damping kernel has no VJP. Set "
+        "SolverConfig.fused_damping=False to differentiate through the "
+        "pose/bundle solvers (the trainer entry points do this "
+        "automatically; see banet_tpu/train/trainer.py).")
+
+
+_damping_core.defvjp(_damping_core_fwd, _damping_core_bwd)
+
+
 def damping_pallas(params: Dict, avg_residual: jnp.ndarray,
                    exponent_base: float = 2.0,
                    interpret: bool = False) -> jnp.ndarray:
@@ -69,15 +102,7 @@ def damping_pallas(params: Dict, avg_residual: jnp.ndarray,
     B, C = avg_residual.shape
     pad = (-B) % 8
     x = jnp.pad(avg_residual.astype(jnp.float32), ((0, pad), (0, 0)))
-    flat = _flatten_params(params)
+    flat = tuple(_flatten_params(params))
     base = jnp.full((1, 1), exponent_base, jnp.float32)
-
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((B + pad, 1), jnp.float32),
-        in_specs=[vspec] * 12,
-        out_specs=vspec,
-        interpret=interpret,
-    )(x, *flat, base)
+    out = _damping_core(interpret, x, flat, base)
     return out[:B, 0]

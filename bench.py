@@ -41,9 +41,11 @@ Three honesty rules, each learned the hard way:
     chain), not the static budget.
  3. The byte floor is weights + image only (a perfect kernel keeps all
     activations in VMEM — they fit), so the floor is strict.
-The headline runs the TRAINED flagship weights (artifacts/campaign_r4
-EMA) when present: convergence behavior — and therefore executed
-iterations — is that of the shipped model, not of random init.
+The headline runs the TRAINED flagship weights — the newest shipped
+campaign EMA found on disk (see TRAINED_CKPT below for the exact
+preference order; the chosen path is echoed in the JSON "weights"
+field): convergence behavior — and therefore executed iterations — is
+that of the shipped model, not of random init.
 
 Also reported (BASELINE's "BA frames/sec/chip"): bundle-adjust ms per
 pair (joint pose+depth, BundleResize path) and the F=4-frame window-BA
@@ -71,12 +73,13 @@ N = int(os.environ.get("BANET_BENCH_N", 1024))
 REPEATS = 4
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "artifacts")
-# Latest shipped campaign first (r5c = zero conv padding, f32-trained;
-# bf16 solver maps + s2d stem come from inference_config — the round-3
-# checkpoint selection is recorded in artifacts/README.md), older as
-# fallback.
+# Latest shipped campaign first (r6 = symmetric pad, f32-trained — the
+# round-4 unified fast+accurate config; bf16 solver maps + s2d stem
+# come from inference_config; checkpoint selection history is in
+# artifacts/README.md), older as fallback.
 TRAINED_CKPT = next(
-    (p for p in (os.path.join(_ART, "campaign_r5c", "ckpt_ema"),
+    (p for p in (os.path.join(_ART, "campaign_r6", "ckpt_ema"),
+                 os.path.join(_ART, "campaign_r5c", "ckpt_ema"),
                  os.path.join(_ART, "campaign_r5", "ckpt_ema"),
                  os.path.join(_ART, "campaign_r4", "ckpt_ema"))
      if os.path.isdir(p)),
