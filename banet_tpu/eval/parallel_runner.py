@@ -6,9 +6,10 @@ across JAX processes (one shard per host, keyed by
 and gather the per-sequence results via ``jax.experimental.
 multihost_utils``-style allgather of a fixed-size metrics array.
 
-In this single-process environment ``process_count() == 1`` and the
-runner degrades to a plain loop — the sharding logic is still exercised
-by tests that call ``shard_for_process`` with synthetic process ids.
+Single-process, the runner degrades to a plain loop; the multi-process
+allgather branch runs for real in tests/test_multiprocess.py (2 OS
+processes via ``jax.distributed`` + gloo CPU collectives) and the
+sharding arithmetic is unit-tested with synthetic process ids.
 Preserves ``seq_example.py`` loop semantics per sequence (the odometry
 runner does).
 """
@@ -55,7 +56,8 @@ def run_sharded_eval(
         local[i] = [float(res.get(k, np.nan)) for k in metric_keys]
         filled[i] = 1.0
 
-    if pc > 1:  # pragma: no cover - needs a real multi-host job
+    if pc > 1:  # exercised for real by tests/test_multiprocess.py
+        # (2 OS processes over jax.distributed + gloo CPU collectives)
         from jax.experimental import multihost_utils
 
         total = multihost_utils.process_allgather(local).sum(axis=0)
