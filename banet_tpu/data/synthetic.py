@@ -126,8 +126,66 @@ def _analytic_texture(key, num_waves: int = 48, max_freq: float = 2.0,
     return tex
 
 
+# ---------------------------------------------------------------------------
+# Domain randomization (VERDICT r3 item 6: the strongest in-env proxy for
+# real-data generalization).  A "domain" fixes the nuisance statistics the
+# tracker must be robust to: texture spectrum/contrast/palette, lens
+# vignetting, illumination gradient, sensor gain/bias/noise, rolling-shutter
+# skew.  Domains "A" (train) and "B" (held-out) have DISJOINT parameter
+# ranges, so evaluating on B measures generalization to unseen imaging
+# statistics, not memorization of the renderer (the role TUM fr1/fr2 plays
+# for the reference, legacy/eval.py:234 — no real data exists in this
+# zero-egress environment).
+DOMAINS = {
+    # Training domain: moderate texture, mild camera nuisances.
+    "A": dict(tex_freq=(1.0, 2.2), tex_waves=48, contrast=(85.0, 115.0),
+              color_mix=0.3, vignette=(0.0, 0.12), gradient=(0.0, 0.10),
+              gain=(0.92, 1.08), bias=(-6.0, 6.0), noise=(0.0, 2.0),
+              shutter=(0.0, 0.15)),
+    # Held-out domain: finer+weaker texture, different palette mixing,
+    # strong vignette/gradient, darker gain, more noise, more skew —
+    # every range disjoint from (or outside) A's.
+    "B": dict(tex_freq=(2.6, 4.5), tex_waves=20, contrast=(45.0, 75.0),
+              color_mix=0.8, vignette=(0.15, 0.35), gradient=(0.12, 0.25),
+              gain=(0.78, 0.90), bias=(6.0, 15.0), noise=(2.5, 4.5),
+              shutter=(0.15, 0.30)),
+}
+
+
+def _uniform_in(key, rng: Tuple[float, float], shape=()):
+    return jax.random.uniform(key, shape, minval=rng[0], maxval=rng[1])
+
+
+def apply_camera_effects(key, rgb: jnp.ndarray, domain: str,
+                         vignette_strength=None) -> jnp.ndarray:
+    """Per-frame sensor/lens nuisances for a domain: radial vignette,
+    linear illumination gradient, exposure gain, black-level bias,
+    pixel noise.  ``rgb`` is (H, W, 3) in [0, 255].  Pass
+    ``vignette_strength`` to pin the (per-camera, not per-frame)
+    vignette across a sequence."""
+    d = DOMAINS[domain]
+    ks = jax.random.split(key, 5)
+    H, W = rgb.shape[:2]
+    yy, xx = jnp.meshgrid(jnp.linspace(-1.0, 1.0, H),
+                          jnp.linspace(-1.0, 1.0, W), indexing="ij")
+    v = (_uniform_in(ks[0], d["vignette"]) if vignette_strength is None
+         else jnp.asarray(vignette_strength))
+    r2 = (xx ** 2 + yy ** 2) / 2.0
+    illum = 1.0 - v * r2
+    theta = 2 * jnp.pi * jax.random.uniform(ks[1], ())
+    g = _uniform_in(ks[2], d["gradient"])
+    illum = illum * (1.0 + g * (xx * jnp.cos(theta) + yy * jnp.sin(theta)))
+    gain = _uniform_in(ks[3], d["gain"])
+    bias = _uniform_in(jax.random.fold_in(ks[3], 1), d["bias"])
+    noise = _uniform_in(jax.random.fold_in(ks[3], 2), d["noise"])
+    out = rgb * illum[..., None] * gain + bias
+    out = out + noise * jax.random.normal(ks[4], rgb.shape)
+    return jnp.clip(out, 0.0, 255.0)
+
+
 def make_plane_scene(key, num_planes: int = 3,
-                     depth_range: Tuple[float, float] = (2.0, 5.0)):
+                     depth_range: Tuple[float, float] = (2.0, 5.0),
+                     domain: str = None):
     """A world of ``num_planes`` textured fronto-parallel planes.
 
     Returns (render_fn, plane_depths): ``render_fn(R_cw, t_cw, intr,
@@ -137,13 +195,40 @@ def make_plane_scene(key, num_planes: int = 3,
     with real parallax and occlusion boundaries, unlike the
     inverse-warp pair renderer.  Infinitely sharp and consistent: GT
     depth is exact z-depth, GT poses arbitrary.
+
+    ``domain`` (see DOMAINS) randomizes the texture statistics per
+    plane (spectrum, contrast, channel mixing); camera-side nuisances
+    are applied by the callers via ``apply_camera_effects`` (they are
+    per-frame, not per-world).  ``render_fn`` also accepts optional
+    ``shutter_w``/``shutter_v`` (3-vectors): rolling-shutter readout —
+    the pose advances by ``s * shutter`` across rows, s in [-.5, .5]
+    (the nominal pose holds at the center row, so GT pose/depth stay
+    well-defined there).
     """
     ks = jax.random.split(key, num_planes + 1)
     depths = jnp.sort(jax.random.uniform(
         ks[0], (num_planes,), minval=depth_range[0],
         maxval=depth_range[1]))
-    texs = [_analytic_texture(ks[1 + j], max_freq=1.5 + 0.5 * j)
-            for j in range(num_planes)]
+    if domain is None:
+        texs = [_analytic_texture(ks[1 + j], max_freq=1.5 + 0.5 * j)
+                for j in range(num_planes)]
+        contrasts = [100.0] * num_planes
+        mixes = [jnp.eye(3)] * num_planes
+    else:
+        d = DOMAINS[domain]
+        texs, contrasts, mixes = [], [], []
+        for j in range(num_planes):
+            kj = jax.random.split(ks[1 + j], 4)
+            freq = float(d["tex_freq"][0] +
+                         (d["tex_freq"][1] - d["tex_freq"][0]) *
+                         (j + 0.5) / num_planes)
+            texs.append(_analytic_texture(kj[0], num_waves=d["tex_waves"],
+                                          max_freq=freq))
+            contrasts.append(_uniform_in(kj[1], d["contrast"]))
+            m = d["color_mix"]
+            M = ((1.0 - m) * jnp.eye(3) +
+                 m * jax.random.normal(kj[2], (3, 3)) / jnp.sqrt(3.0))
+            mixes.append(M)
     # Nearer planes occupy a random off-center disk (so farther planes
     # stay visible around them); the farthest plane is infinite.
     kd = jax.random.split(ks[0], num_planes)
@@ -152,7 +237,8 @@ def make_plane_scene(key, num_planes: int = 3,
     radii = jax.random.uniform(kd[1 % num_planes], (num_planes,),
                                minval=0.6, maxval=1.4)
 
-    def render(R_cw, t_cw, intr, height: int, width: int):
+    def render(R_cw, t_cw, intr, height: int, width: int,
+               shutter_w=None, shutter_v=None):
         yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
                               jnp.arange(width, dtype=jnp.float32),
                               indexing="ij")
@@ -163,8 +249,24 @@ def make_plane_scene(key, num_planes: int = 3,
         rays = jnp.stack([(xx - cx) / fx, (yy - cy) / fy,
                           jnp.ones_like(xx)], axis=-1)  # (H, W, 3)
         Rt = R_cw.T
-        rw = rays @ Rt.T                       # ray dirs in world
-        ow = -Rt @ t_cw                        # camera center in world
+        if shutter_w is None:
+            rw = rays @ Rt.T                   # ray dirs in world
+            ow = -Rt @ t_cw                    # camera center in world
+            ow_x, ow_y, ow_z = ow[0], ow[1], ow[2]
+        else:
+            # Rolling shutter: row r reads out at s = r/(H-1) - 0.5 of
+            # the frame time; pose(s) = exp(s*w) @ R_cw, t + s*v.
+            s = (jnp.arange(height, dtype=jnp.float32) /
+                 max(height - 1, 1) - 0.5)
+            dR = exp_so3(s[:, None] * shutter_w[None, :])   # (H, 3, 3)
+            # world dir = (dR(s) @ R_cw)^T @ ray = R_cw^T dR^T ray
+            rays_s = jnp.einsum("hji,hwj->hwi", dR, rays)
+            rw = rays_s @ Rt.T
+            t_s = t_cw[None, :] + s[:, None] * shutter_v[None, :]
+            R_eff = jnp.einsum("hij,jk->hik", dR, R_cw)
+            ow_rows = -jnp.einsum("hji,hj->hi", R_eff, t_s)  # (H, 3)
+            ow_x, ow_y, ow_z = (ow_rows[:, 0:1], ow_rows[:, 1:2],
+                                ow_rows[:, 2:3])
 
         best_z = jnp.full((height, width), jnp.inf)
         rgb = jnp.zeros((height, width, 3))
@@ -172,16 +274,17 @@ def make_plane_scene(key, num_planes: int = 3,
             denom = rw[..., 2]
             denom = jnp.where(jnp.abs(denom) < 1e-6,
                               jnp.sign(denom) * 1e-6 + 1e-12, denom)
-            z = (depths[j] - ow[2]) / denom    # depth along CAMERA ray
-            xw = ow[0] + z * rw[..., 0]
-            yw = ow[1] + z * rw[..., 1]
+            z = (depths[j] - ow_z) / denom     # depth along CAMERA ray
+            xw = ow_x + z * rw[..., 0]
+            yw = ow_y + z * rw[..., 1]
             inside = (z > 0.1)
             if j < len(texs) - 1:
                 d2 = ((xw - centers[j, 0]) ** 2 +
                       (yw - centers[j, 1]) ** 2)
                 inside = inside & (d2 < radii[j] ** 2)
             hit = inside & (z < best_z)
-            col = 127.5 + 100.0 * jnp.tanh(texs[j](xw, yw))
+            col = 127.5 + contrasts[j] * jnp.tanh(
+                texs[j](xw, yw) @ mixes[j].T)
             rgb = jnp.where(hit[..., None], col, rgb)
             best_z = jnp.where(hit, z, best_z)
         depth = jnp.where(jnp.isfinite(best_z), best_z, 0.0)
@@ -191,10 +294,14 @@ def make_plane_scene(key, num_planes: int = 3,
 
 
 def smooth_trajectory(key, num_frames: int, step_rot: float = 0.01,
-                      step_trans: float = 0.02):
+                      step_trans: float = 0.02, step_scale=None):
     """Smooth random camera path: poses (cam-from-world) as
     (Rs (F, 3, 3), ts (F, 3)), starting at the identity, with a
-    low-pass-filtered random-walk velocity."""
+    low-pass-filtered random-walk velocity.
+
+    ``step_scale``: optional (F,) per-frame multiplier applied AFTER
+    smoothing — lets a segment of frames move abruptly faster (the
+    rescue-sequence fixture) without softening its onset."""
     k1, k2 = jax.random.split(key)
     w_steps = step_rot * jax.random.normal(k1, (num_frames, 3))
     t_steps = step_trans * jax.random.normal(k2, (num_frames, 3))
@@ -207,6 +314,10 @@ def smooth_trajectory(key, num_frames: int, step_rot: float = 0.01,
         return out
     w_s = smooth(w_steps)
     t_s = smooth(t_steps)
+    if step_scale is not None:
+        sc = jnp.asarray(step_scale, jnp.float32)[:, None]
+        w_s = w_s * sc
+        t_s = t_s * sc
     Rs, ts = [jnp.eye(3)], [jnp.zeros(3)]
     for i in range(1, num_frames):
         dR = exp_so3(w_s[i][None])[0]
@@ -220,12 +331,22 @@ def write_rendered_sequence(seq_dir: str, num_frames: int = 30,
                             seed: int = 0, num_planes: int = 3,
                             step_rot: float = 0.01,
                             step_trans: float = 0.02,
-                            fps: float = 30.0):
+                            fps: float = 30.0,
+                            domain: str = None,
+                            step_scale=None,
+                            frame_contrast=None):
     """Render a COHERENT TUM-format sequence from the multi-plane world
     (geometrically consistent frames a tracker can actually track, with
     exact GT depth and trajectory) — the trajectory-level accuracy
     fixture this zero-egress environment substitutes for TUM data.
     Returns the loaded data.tum.TumSequence.
+
+    ``domain``: draw world textures + per-frame camera effects from
+    that DOMAINS entry (vignette pinned per-sequence — it is a lens
+    property).  ``step_scale``: (F,) trajectory-step multiplier (fast-
+    motion segments for the rescue fixture).  ``frame_contrast``: (F,)
+    multiplier collapsing contrast around mid-gray on chosen frames
+    (low-texture segments — auto-exposure blowout semantics).
     """
     import os
 
@@ -240,16 +361,29 @@ def write_rendered_sequence(seq_dir: str, num_frames: int = 30,
     k1, k2 = jax.random.split(key)
     intr = Intrinsics(jnp.array([0.9 * W]), jnp.array([0.9 * W]),
                       jnp.array([W / 2.0]), jnp.array([H / 2.0]))
-    render, _ = make_plane_scene(k1, num_planes=num_planes)
-    Rs, ts = smooth_trajectory(k2, num_frames, step_rot, step_trans)
+    render, _ = make_plane_scene(k1, num_planes=num_planes,
+                                 domain=domain)
+    Rs, ts = smooth_trajectory(k2, num_frames, step_rot, step_trans,
+                               step_scale=step_scale)
+    if domain is not None:
+        vstr = float(_uniform_in(jax.random.fold_in(key, 3),
+                                 DOMAINS[domain]["vignette"]))
 
     os.makedirs(os.path.join(seq_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(seq_dir, "depth"), exist_ok=True)
     rgb_lines, depth_lines, gt_lines = [], [], []
     render_j = jax.jit(lambda R, t: render(R, t, intr, H, W))
+    effects_j = jax.jit(lambda k, rgb: apply_camera_effects(
+        k, rgb, domain, vignette_strength=vstr)) \
+        if domain is not None else None
     for i in range(num_frames):
         tstamp = 1000.0 + i / fps
         rgb, depth = render_j(Rs[i], ts[i])
+        if frame_contrast is not None:
+            c = float(frame_contrast[i])
+            rgb = 127.5 + (rgb - 127.5) * c
+        if effects_j is not None:
+            rgb = effects_j(jax.random.fold_in(key, 100 + i), rgb)
         img = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)
         d16 = np.clip(np.asarray(depth) * DEPTH_SCALE, 0,
                       65535).astype(np.uint16)
@@ -286,13 +420,22 @@ def make_plane_scene_pair(key, batch: int = 1, height: int = 128,
                           rot_magnitude: float = 0.03,
                           trans_magnitude: float = 0.05,
                           photometric_gain: float = 0.0,
-                          pixel_noise: float = 0.0) -> Dict:
+                          pixel_noise: float = 0.0,
+                          domain: str = None) -> Dict:
     """Training pair from the multi-plane world: real parallax,
     occlusion boundaries, exact GT depth/pose — the richer curriculum
     the inverse-warp ``make_synthetic_image_pair`` cannot provide.
     Optional photometric augmentation (per-image gain jitter + pixel
     noise) on the TARGET image only, so the model learns robustness to
     the violation of brightness constancy.
+
+    ``domain`` (DOMAINS key): full domain randomization — textured
+    world drawn from that domain's statistics, per-image camera
+    effects on BOTH images (independent draws, shared per-scene
+    vignette), and rolling-shutter skew on the target proportional to
+    the inter-frame motion.  The explicit ``photometric_gain`` /
+    ``pixel_noise`` knobs still add on top (keep them 0 with a
+    domain).
     """
     ks = jax.random.split(key, batch * 2 + 2)
     intr = Intrinsics(
@@ -303,8 +446,9 @@ def make_plane_scene_pair(key, batch: int = 1, height: int = 128,
     )
     img1s, img2s, depths, Rls, tls = [], [], [], [], []
     for b in range(batch):
-        kb = jax.random.split(ks[b], 5)
-        render, _ = make_plane_scene(kb[0], num_planes=num_planes)
+        kb = jax.random.split(ks[b], 8)
+        render, _ = make_plane_scene(kb[0], num_planes=num_planes,
+                                     domain=domain)
         intr_b = Intrinsics(intr.fx[b:b + 1], intr.fy[b:b + 1],
                             intr.cx[b:b + 1], intr.cy[b:b + 1])
         R_rel = exp_so3(rot_magnitude * jax.random.normal(kb[1], (3,))
@@ -312,7 +456,23 @@ def make_plane_scene_pair(key, batch: int = 1, height: int = 128,
         t_rel = trans_magnitude * jax.random.normal(kb[2], (3,))
         rgb1, d1 = render(jnp.eye(3), jnp.zeros(3), intr_b, height,
                           width)
-        rgb2, _d2 = render(R_rel, t_rel, intr_b, height, width)
+        if domain is None:
+            rgb2, _d2 = render(R_rel, t_rel, intr_b, height, width)
+        else:
+            dd = DOMAINS[domain]
+            # Shutter skew = (readout/frame time) x inter-frame motion.
+            skew = _uniform_in(kb[5], dd["shutter"])
+            w_rel = rot_magnitude * jax.random.normal(kb[1], (3,))
+            rgb2, _d2 = render(R_rel, t_rel, intr_b, height, width,
+                               shutter_w=skew * w_rel,
+                               shutter_v=skew * t_rel)
+            vstr = _uniform_in(kb[6], dd["vignette"])  # per-camera
+            rgb1 = apply_camera_effects(jax.random.fold_in(kb[7], 0),
+                                        rgb1, domain,
+                                        vignette_strength=vstr)
+            rgb2 = apply_camera_effects(jax.random.fold_in(kb[7], 1),
+                                        rgb2, domain,
+                                        vignette_strength=vstr)
         # Unconditional (jit-friendly with traced magnitudes; 0 = no-op).
         g = 1.0 + photometric_gain * jax.random.normal(kb[3], ())
         rgb2 = jnp.clip(rgb2 * g, 0.0, 255.0)

@@ -55,6 +55,17 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="solver feature-map dtype "
                          "(ModelConfig.solver_feature_dtype)")
+    ap.add_argument("--domain", default=None, choices=["A", "B"],
+                    help="domain-randomized curriculum "
+                         "(data/synthetic.DOMAINS): textures, vignette/"
+                         "gradient lighting, sensor gain/bias/noise, "
+                         "rolling shutter — train on A, hold out B")
+    ap.add_argument("--crop-augment", action="store_true",
+                    help="route every batch through the reference's "
+                         "train-crop geometry (bundlenet.py:286-302): "
+                         "render at 15/16 H, trim a 4-px border, "
+                         "resize to (H, W), remap points/intrinsics "
+                         "with crop_remap/crop_adjusted_intrinsics")
     ap.add_argument("--resume-from-step", type=int, default=0,
                     help="restore <out>/ckpt (params+batch_stats) and "
                          "<out>/ckpt_ema (EMA params) and continue the "
@@ -98,6 +109,8 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "model_config.json"), "w") as f:
         json.dump(overrides, f)
+    with open(os.path.join(args.out, "campaign_config.json"), "w") as f:
+        json.dump(vars(args), f, indent=1)  # full provenance
     model, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                       image_size=(H, W),
                                       num_points=args.num_points)
@@ -150,26 +163,75 @@ def main():
                               "exact": False}), flush=True)
     step_fn = jax.jit(make_train_step(model, cfg))
 
+    # Crop-augment geometry (reference bundlenet.py:286-302 semantics;
+    # mirrors train/trainer.crop_augmented_batch but over the plane-
+    # scene curriculum): render at (15/16 H, W), trim a 4-px frame,
+    # resize the crop to (H, W), remap points + intrinsics exactly.
+    border = 4
+    Hs = (H * 15) // 16
+    Ws = W
+
     @jax.jit
     def make_batch(key, rot_mag, trans_mag, photo, noise):
-        pair = make_plane_scene_pair(
-            key, batch=args.batch, height=H, width=W,
-            rot_magnitude=rot_mag, trans_magnitude=trans_mag,
-            photometric_gain=photo, pixel_noise=noise)
+        from banet_tpu.train.trainer import depth_at_points
+
         kp = jax.random.fold_in(key, 77)
-        pts = jnp.stack([
+        if not args.crop_augment:
+            pair = make_plane_scene_pair(
+                key, batch=args.batch, height=H, width=W,
+                rot_magnitude=rot_mag, trans_magnitude=trans_mag,
+                photometric_gain=photo, pixel_noise=noise,
+                domain=args.domain)
+            pts = jnp.stack([
+                jax.random.uniform(kp, (args.batch, args.num_points),
+                                   minval=6.0, maxval=W - 6.0),
+                jax.random.uniform(jax.random.fold_in(kp, 1),
+                                   (args.batch, args.num_points),
+                                   minval=6.0, maxval=H - 6.0)], axis=-1)
+            return dict(
+                image1=pair["image1"], image2=pair["image2"],
+                intr_array=pair["intr"].as_array(), points=pts,
+                point_depths=depth_at_points(pair["depth"], pts),
+                R_gt=pair["R_true"], t_gt=pair["t_true"],
+                depth_gt=pair["depth"],
+                valid_mask=(pair["depth"] > 0).astype(jnp.float32))
+
+        from banet_tpu.geometry.camera import (crop_adjusted_intrinsics,
+                                               crop_remap)
+
+        pair = make_plane_scene_pair(
+            key, batch=args.batch, height=Hs, width=Ws,
+            rot_magnitude=rot_mag, trans_magnitude=trans_mag,
+            photometric_gain=photo, pixel_noise=noise,
+            domain=args.domain)
+        b = border
+
+        def crop_resize(img, method="bilinear"):
+            region = img[:, b:Hs - b, b:Ws - b]
+            shape = (args.batch, H, W) + img.shape[3:]
+            return jax.image.resize(region, shape, method)
+
+        pts_src = jnp.stack([
             jax.random.uniform(kp, (args.batch, args.num_points),
-                               minval=6.0, maxval=W - 6.0),
+                               minval=b + 2.0, maxval=Ws - b - 2.0),
             jax.random.uniform(jax.random.fold_in(kp, 1),
                                (args.batch, args.num_points),
-                               minval=6.0, maxval=H - 6.0)], axis=-1)
-        from banet_tpu.train.trainer import depth_at_points
-        return dict(image1=pair["image1"], image2=pair["image2"],
-                    intr_array=pair["intr"].as_array(), points=pts,
-                    point_depths=depth_at_points(pair["depth"], pts),
-                    R_gt=pair["R_true"], t_gt=pair["t_true"],
-                    depth_gt=pair["depth"],
-                    valid_mask=(pair["depth"] > 0).astype(jnp.float32))
+                               minval=b + 2.0, maxval=Hs - b - 2.0),
+        ], axis=-1)
+        depth_gt = crop_resize(pair["depth"])
+        intr = crop_adjusted_intrinsics(pair["intr"], (Hs, Ws), (H, W),
+                                        b)
+        return dict(
+            image1=crop_resize(pair["image1"]),
+            image2=crop_resize(pair["image2"]),
+            intr_array=intr.as_array(),
+            points=crop_remap(pts_src, (Hs, Ws), (H, W), b),
+            # Depth at the SOURCE points from the uncropped map — the
+            # remap is affine in pixels, so this is the same 3D point.
+            point_depths=depth_at_points(pair["depth"], pts_src),
+            R_gt=pair["R_true"], t_gt=pair["t_true"],
+            depth_gt=depth_gt,
+            valid_mask=(depth_gt > 0).astype(jnp.float32))
 
     @jax.jit
     def ema_update(ema, params, decay):

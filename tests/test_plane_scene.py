@@ -132,3 +132,99 @@ def test_smooth_trajectory_starts_at_identity():
     # Orthonormality preserved along the chain.
     err = np.abs(np.asarray(Rs[-1] @ Rs[-1].T) - np.eye(3)).max()
     assert err < 1e-5
+
+
+# ---------------- domain randomization (round 4) ----------------
+
+def test_domain_textures_differ_and_consistency_holds():
+    """Domains A and B draw disjoint texture statistics, and the
+    geometric cross-view consistency is domain-independent (camera
+    effects are applied OUTSIDE the renderer)."""
+    H, W = 48, 64
+    intr = Intrinsics(jnp.array([0.9 * W]), jnp.array([0.9 * W]),
+                      jnp.array([W / 2.0]), jnp.array([H / 2.0]))
+    key = jax.random.PRNGKey(3)
+    imgs = {}
+    for dom in ("A", "B"):
+        render, _ = make_plane_scene(key, num_planes=3, domain=dom)
+        rgb, d = render(jnp.eye(3), jnp.zeros(3), intr, H, W)
+        assert bool(jnp.all(jnp.isfinite(rgb)))
+        assert bool(jnp.all(d > 0))
+        imgs[dom] = np.asarray(rgb)
+    # Same world key, different domains -> genuinely different images.
+    assert np.abs(imgs["A"] - imgs["B"]).mean() > 5.0
+    # B is the low-contrast domain by construction.
+    assert imgs["B"].std() < imgs["A"].std()
+
+
+def test_camera_effects_stay_in_range_and_differ_per_frame():
+    from banet_tpu.data.synthetic import apply_camera_effects
+
+    rgb = 127.5 * jnp.ones((32, 40, 3))
+    a = apply_camera_effects(jax.random.PRNGKey(0), rgb, "B")
+    b = apply_camera_effects(jax.random.PRNGKey(1), rgb, "B")
+    for x in (a, b):
+        assert float(x.min()) >= 0.0 and float(x.max()) <= 255.0
+    assert float(jnp.abs(a - b).mean()) > 0.5  # per-frame draws differ
+
+
+def test_rolling_shutter_zero_is_exact_and_nonzero_skews():
+    H, W = 48, 64
+    intr = Intrinsics(jnp.array([0.9 * W]), jnp.array([0.9 * W]),
+                      jnp.array([W / 2.0]), jnp.array([H / 2.0]))
+    render, _ = make_plane_scene(jax.random.PRNGKey(1), num_planes=3)
+    R = exp_so3(jnp.array([[0.01, 0.0, 0.0]]))[0]
+    t = jnp.array([0.01, 0.0, 0.0])
+    base, dbase = render(R, t, intr, H, W)
+    z0, dz0 = render(R, t, intr, H, W, shutter_w=jnp.zeros(3),
+                     shutter_v=jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(base),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dz0), np.asarray(dbase),
+                               atol=1e-5)
+    sk, _ = render(R, t, intr, H, W, shutter_w=jnp.array([0.02, 0, 0]),
+                   shutter_v=jnp.zeros(3))
+    diff = np.abs(np.asarray(sk) - np.asarray(base)).mean(axis=(1, 2))
+    mid = diff[H // 2 - 2:H // 2 + 2].mean()
+    edges = (diff[:4].mean() + diff[-4:].mean()) / 2
+    # Pose is nominal at the center row; skew grows toward the edges.
+    assert edges > 2 * mid + 0.5, (mid, edges)
+
+
+def test_step_scale_makes_segment_faster():
+    F = 20
+    scale = np.ones(F)
+    scale[10:14] = 8.0
+    Rs, ts = smooth_trajectory(jax.random.PRNGKey(2), F,
+                               step_rot=0.01, step_trans=0.01,
+                               step_scale=scale)
+    from banet_tpu.geometry.se3 import rotation_geodesic_angle
+    dang = np.asarray(rotation_geodesic_angle(Rs[:-1], Rs[1:]))
+    assert dang[10:13].mean() > 4 * dang[:9].mean()
+
+
+def test_pair_with_domain_shapes_and_gt():
+    pair = make_plane_scene_pair(jax.random.PRNGKey(4), batch=2,
+                                 height=48, width=64, domain="A")
+    assert pair["image1"].shape == (2, 48, 64, 3)
+    assert bool(jnp.all(jnp.isfinite(pair["image1"])))
+    assert bool(jnp.all(jnp.isfinite(pair["image2"])))
+    assert bool(jnp.all(pair["depth"] > 0))
+
+
+def test_rendered_sequence_with_domain_and_contrast(tmp_path):
+    contrast = np.ones(4)
+    contrast[2] = 0.05
+    seq = write_rendered_sequence(
+        str(tmp_path / "seq"), num_frames=4, size=(32, 40), seed=5,
+        domain="B", frame_contrast=contrast)
+    assert len(seq.frames) == 4
+    imgs = [np.asarray(seq.frames[i].load_rgb()).astype(np.float32)
+            for i in range(4)]
+    # The contrast-collapsed frame loses TEXTURE (what tracking feeds
+    # on): compare high-frequency energy — the domain's vignette/
+    # gradient/noise still contribute low-frequency std to every frame.
+    def hf(img):
+        return np.abs(np.diff(img, axis=1)).mean()
+
+    assert hf(imgs[2]) < 0.5 * hf(imgs[1]), (hf(imgs[2]), hf(imgs[1]))
