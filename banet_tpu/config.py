@@ -147,11 +147,22 @@ class ModelConfig:
     # legacy_tracker_config pins the faithful concat-width shape.
     pyramid_agg_channels: Optional[int] = 128
     pyramid_finest_convs: Optional[int] = 0
+    # Compute each pyramid aggregation node in folded form (models/
+    # pyramid._FoldedAgg): the 1x1 agg commutes with the fixed
+    # upsampler, so the up-path contraction runs at coarse resolution
+    # and the wide full-res concat never hits HBM.  Same function and
+    # parameter tree as the faithful form (checkpoint-compatible,
+    # parity-tested); a layout knob, not a semantic one.
+    pyramid_fold_agg: bool = False
     # Conv padding: "symmetric" (reference-parity edge mirror,
     # enc.py:23-41 — an explicit concat before every k>1 conv that XLA
-    # cannot fold into the convolution) or "zero" (the conv's own SAME
-    # padding, which folds away; values differ in a 1-px border only
-    # and weights must be trained with the same mode).
+    # cannot fold into the convolution), "symmetric_fast" (the SAME
+    # function computed as a zero-pad conv + exact 1-px border
+    # corrections, models/drn._FastSymConv3x3 — no padded-map copy;
+    # checkpoint-compatible with "symmetric", parity-tested to f32
+    # noise), or "zero" (the conv's own SAME padding; values differ in
+    # a 1-px border only and weights must be trained with the same
+    # mode).
     conv_pad_mode: str = "symmetric"
     # Inference-only space-to-depth stem layout (models/stem_s2d.py):
     # computes the SAME layer0/layer1 function on the 2x2-phase grid

@@ -62,7 +62,8 @@ class BANet(nn.Module):
                                   agg_features=mc.pyramid_agg_channels,
                                   finest_convs=mc.pyramid_finest_convs,
                                   dtype=dtype,
-                                  pad_mode=mc.conv_pad_mode)
+                                  pad_mode=mc.conv_pad_mode,
+                                  fold_agg=mc.pyramid_fold_agg)
         self.dla = DLA(normalize_basis=mc.basis_normalized, dtype=dtype)
         self.damping_nets = [
             DampingNet(mc.pyramid_channels,
@@ -174,6 +175,24 @@ class BANet(nn.Module):
             iters_run=jnp.full_like(z, budget))  # fused = fixed budget
         return R, t, aux
 
+    def _pair_encoder(self, image_ref, image_tgt, train: bool):
+        """Encode BOTH images of a cold pair in ONE batched call.
+
+        The B=1 encoder leaves most of the MXU idle (measured 17.6% of
+        bf16 peak vs 25% at B=8 — artifacts/PROFILE_r03); stacking the
+        pair doubles the work per launch for the same weights-read.
+        Inference-only: under ``train`` BatchNorm batch statistics
+        would couple the two images, so training keeps separate calls
+        (VERDICT r3 item 5: batch the cold pair's two pyramids).
+        """
+        if train or image_ref.shape != image_tgt.shape:
+            return (self.encoder(image_ref, train),
+                    self.encoder(image_tgt, train))
+        B = image_ref.shape[0]
+        layers = self.encoder(
+            jnp.concatenate([image_ref, image_tgt], axis=0), train)
+        return ([l[:B] for l in layers], [l[B:] for l in layers])
+
     def _damping_fns(self, levels):
         fns = []
         for lvl in levels:
@@ -238,6 +257,14 @@ class BANet(nn.Module):
             R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
         if t0 is None:
             t0 = jnp.zeros((B, 3))
+        if feats_ref is None and feats_tgt is None and not train \
+                and image_ref.shape == image_tgt.shape:
+            # One B=2 encoder+FPN pass for the cold pair (see
+            # _pair_encoder docstring for why, and why not in train).
+            both = self.features(
+                jnp.concatenate([image_ref, image_tgt], axis=0), train)
+            feats_ref = [f[:B] for f in both]
+            feats_tgt = [f[B:] for f in both]
         if feats_ref is None:
             feats_ref = self.features(image_ref, train)
         if feats_tgt is None:
@@ -273,16 +300,21 @@ class BANet(nn.Module):
                           points: jnp.ndarray, point_depths: jnp.ndarray,
                           R0: Optional[jnp.ndarray] = None,
                           t0: Optional[jnp.ndarray] = None,
-                          train: bool = False):
+                          train: bool = False,
+                          feats_tgt: Optional[List[jnp.ndarray]] = None):
         """pose_track against precomputed keyframe point features
         (from ``sample_ref_features``); only the target pyramid is
-        computed here — the steady-state odometry per-frame path."""
+        computed here — the steady-state odometry per-frame path.
+        ``feats_tgt`` lets the caller supply that pyramid too (the
+        tracker computes it in a separate jit so a re-key can reuse
+        the just-tracked frame's pyramid as the new keyframe's)."""
         B = image_tgt.shape[0]
         if R0 is None:
             R0 = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
         if t0 is None:
             t0 = jnp.zeros((B, 3))
-        feats_tgt = self.features(image_tgt, train)
+        if feats_tgt is None:
+            feats_tgt = self.features(image_tgt, train)
         levels = list(range(self.cfg.model.pyramid_levels))
         L = self.cfg.model.pyramid_levels
         stacks = [self._target_stack(feats_tgt[lvl]) for lvl in levels]
@@ -512,11 +544,12 @@ class BANet(nn.Module):
         baseline, and on small baselines the two-view scale gauge makes
         identity-init refinement unidentifiable (ba/bundle_solver.py).
 
-        One encoder pass per image, shared across FPN + DLA.
+        One encoder pass per image, shared across FPN + DLA (and one
+        B=2 batched pass for the pair at inference — _pair_encoder).
         Returns the ``bundle_adjust`` dict + pose_R/pose_t/pose_aux.
         """
-        layers_ref = self.encoder(image_ref, train)
-        layers_tgt = self.encoder(image_tgt, train)
+        layers_ref, layers_tgt = self._pair_encoder(image_ref,
+                                                    image_tgt, train)
         feats_ref = self.features_from_layers(layers_ref, train)
         feats_tgt = self.features_from_layers(layers_tgt, train)
         db = self.depth_basis_from_layers(layers_ref, train)
@@ -556,8 +589,8 @@ class BANet(nn.Module):
         B, N = points.shape[0], points.shape[1]
         if point_depths is None:
             point_depths = jnp.ones((B, N), dtype=jnp.float32)
-        layers_ref = self.encoder(image_ref, train)
-        layers_tgt = self.encoder(image_tgt, train)
+        layers_ref, layers_tgt = self._pair_encoder(image_ref,
+                                                    image_tgt, train)
         feats_ref = self.features_from_layers(layers_ref, train)
         feats_tgt = self.features_from_layers(layers_tgt, train)
         db = self.depth_basis_from_layers(layers_ref, train)

@@ -57,6 +57,84 @@ def symmetric_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
                    mode="symmetric")
 
 
+class _FastSymConv3x3(nn.Module):
+    """EXACT symmetric-pad 3x3 conv without the padded-map copy.
+
+    ``symmetric_pad`` materializes an (H+2, W+2, C) concat that XLA
+    cannot fold into the convolution — a full extra HBM round trip per
+    conv (the measured cost of the reference-parity pad mode).  The
+    identity used here: a symmetric-padded VALID conv equals the
+    SAME-zero conv everywhere except the 1-px border, and the border
+    difference is exactly the contribution of the mirrored pad frame.
+    Partitioning that frame into the top/bottom pad ROWS (spanning the
+    corners) and left/right pad COLUMNS (corners excluded):
+
+      top   row y=-1  = row 0 mirrored in x  -> conv1x3(sympad_x(row0),
+                                                        k[0, :])
+      bottom row y=H  = row H-1 mirrored     -> conv1x3(..., k[2, :])
+      left  col x=-1 (y in 0..H-1) = col 0   -> conv3x1(zpad_y(col0),
+                                                        k[:, 0])
+      right col x=W  likewise                -> conv3x1(..., k[:, 2])
+
+    added to the border rows/cols of the SAME-zero conv (the zero pad
+    folds into the conv; the four 1-px-strip convs are O(H+W) work and
+    the adds fuse into the following BN/activation).  Numerically
+    identical to symmetric_pad+VALID up to f32 reassociation — the
+    parity test asserts ~1e-6 agreement, so symmetric-trained
+    checkpoints run unchanged.
+
+    Parameter layout matches ``nn.Conv`` (kernel (3, 3, Cin, Cout)
+    HWIO, he-normal) so it can be named "Conv_0" inside ConvBN and
+    restore any existing checkpoint verbatim.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.lax as lax
+
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (3, 3, C, self.features))
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def conv(inp, kk, padding):
+            return lax.conv_general_dilated(
+                inp, kk, (1, 1), padding, dimension_numbers=dn)
+
+        y = conv(x, k, "SAME")
+        H, W = x.shape[1], x.shape[2]
+        # Border corrections (see class docstring).
+        row0 = x[:, 0:1]
+        rowh = x[:, H - 1:H]
+
+        def sympad_x(row):
+            return jnp.concatenate(
+                [row[:, :, 0:1], row, row[:, :, W - 1:W]], axis=2)
+
+        d_top = conv(sympad_x(row0), k[0:1], "VALID")
+        d_bot = conv(sympad_x(rowh), k[2:3], "VALID")
+        col0 = x[:, :, 0:1]
+        colw = x[:, :, W - 1:W]
+
+        def zpad_y(col):
+            return jnp.pad(col, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+        d_left = conv(zpad_y(col0), k[:, 0:1], "VALID")
+        d_right = conv(zpad_y(colw), k[:, 2:3], "VALID")
+        z = ((0, 0), (0, 0))
+        y = (y
+             + jnp.pad(d_top, ((0, 0), (0, H - 1)) + z)
+             + jnp.pad(d_bot, ((0, 0), (H - 1, 0)) + z)
+             + jnp.pad(d_left, ((0, 0), (0, 0), (0, W - 1), (0, 0)))
+             + jnp.pad(d_right, ((0, 0), (0, 0), (W - 1, 0), (0, 0))))
+        return y
+
+
 class ConvBN(nn.Module):
     """Padded conv + optional BN + optional activation.
 
@@ -84,17 +162,31 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         pad = self.dilation * (self.kernel - 1) // 2
         padding = "VALID"
-        if self.kernel > 1:
-            if self.pad_mode == "symmetric":
+        fast_sym = (self.pad_mode == "symmetric_fast"
+                    and self.kernel == 3 and self.stride == 1
+                    and self.dilation == 1 and not self.use_bias)
+        if self.kernel > 1 and not fast_sym:
+            if self.pad_mode in ("symmetric", "symmetric_fast"):
+                # symmetric_fast falls back to the explicit pad for the
+                # shapes the border-corrected conv does not cover (the
+                # single 7x7 stem conv).
                 x = symmetric_pad(x, pad)
             else:
                 assert self.pad_mode == "zero", self.pad_mode
                 padding = "SAME"
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding=padding,
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    kernel_init=nn.initializers.he_normal())(x)
+        if fast_sym:
+            # Same function as symmetric pad + VALID conv, minus the
+            # padded-map HBM round trip (_FastSymConv3x3 docstring);
+            # named Conv_0 so checkpoints restore verbatim.
+            x = _FastSymConv3x3(self.features, dtype=self.dtype,
+                                name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=padding,
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        kernel_init=nn.initializers.he_normal())(x)
         if self.norm:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum,

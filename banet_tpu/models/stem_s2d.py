@@ -110,7 +110,10 @@ def pad_one_block(y: jnp.ndarray, pad_mode: str) -> jnp.ndarray:
     (and likewise for columns); zero padding is a zero block."""
     if pad_mode == "zero":
         return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    assert pad_mode == "symmetric", pad_mode
+    # symmetric_fast is the border-corrected SAME-conv formulation of
+    # the same function (drn._FastSymConv3x3); in the s2d domain the
+    # explicit mirrored block is the natural form either way.
+    assert pad_mode in ("symmetric", "symmetric_fast"), pad_mode
     B, Hb, Wb, C4 = y.shape
     C = C4 // 4
     yy = y.reshape(B, Hb, Wb, 2, 2, C)
@@ -183,7 +186,8 @@ def stem_s2d(x: jnp.ndarray, k0, bn0, k1, bn1, pad_mode: str, dtype,
     that feeds layer2.
     """
     ch0 = k0.shape[-1]
-    mode = "symmetric" if pad_mode == "symmetric" else "constant"
+    mode = ("symmetric" if pad_mode in ("symmetric", "symmetric_fast")
+            else "constant")
     xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode=mode)
     xs = space_to_depth(xp)
     y = lax.conv_general_dilated(xs, s2d_kernel_7x7(k0).astype(dtype),

@@ -337,8 +337,11 @@ class OdometryRunner:
                 key_pts, key_depths = select_points(
                     rgb, depth, self.num_points, self.texture_threshold,
                     rng=self.rng)
+                # This frame was just tracked, so its pyramid is on
+                # device — re-keys are encoder-free (tracker docstring).
                 self.tracker.set_keyframe(rgb, intrinsics, key_pts,
-                                          key_depths)
+                                          key_depths,
+                                          reuse_last_target=True)
                 key_depth_map = depth
                 key_time = ts
                 key_pose_cw = pose_cw

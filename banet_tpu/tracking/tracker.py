@@ -49,12 +49,23 @@ class TwoViewTracker:
                                     method=self.model.sample_ref_features)
 
         @jax.jit
-        def _track_cached(variables, ref_sampled, img2, k, points,
-                          depths, R0, t0):
+        def _features(variables, img):
+            return self.model.apply(variables, img,
+                                    method=self.model.features)
+
+        @jax.jit
+        def _sample_feats(variables, feats, points):
+            return self.model.apply(variables, feats, points,
+                                    method=self.model.sample_ref_features)
+
+        @jax.jit
+        def _track_cached(variables, ref_sampled, feats_tgt, img2, k,
+                          points, depths, R0, t0):
             intr = Intrinsics.from_array(k)
             R, t, aux = self.model.apply(
                 variables, ref_sampled, img2, intr, points, depths, R0,
-                t0, method=self.model.pose_track_cached)
+                t0, feats_tgt=feats_tgt,
+                method=self.model.pose_track_cached)
             # residual_before is the finest level's accepted-pose
             # feature residual — the solve-quality signal the hybrid
             # rescue compares two inits by (odometry.py).
@@ -70,9 +81,12 @@ class TwoViewTracker:
 
         self._track = _track
         self._keyframe_features = _keyframe_features
+        self._features = _features
+        self._sample_feats = _sample_feats
         self._track_cached = _track_cached
         self._bundle = _bundle
         self._kf = None  # (ref_sampled, k, points, depths)
+        self._last_tgt_feats = None  # device pyramid of last track_frame
 
     @classmethod
     def initialize(cls, cfg: Optional[Config] = None, seed: int = 0,
@@ -154,11 +168,18 @@ class TwoViewTracker:
                                              k, pts)
         return np.asarray(init[..., 0]), np.asarray(refined[..., 0])
 
-    def set_keyframe(self, image, intrinsics, points, depths) -> None:
+    def set_keyframe(self, image, intrinsics, points, depths,
+                     reuse_last_target: bool = False) -> None:
         """Cache the keyframe's per-level point features; subsequent
         ``track_frame`` calls only run the target-image pyramid
         (steady-state odometry path — the reference recomputes both
-        pyramids every frame, legacy/ba.py:447-459)."""
+        pyramids every frame, legacy/ba.py:447-459).
+
+        ``reuse_last_target``: the caller asserts ``image`` IS the
+        frame the last ``track_frame`` call tracked (the odometry
+        re-key case), so its already-computed pyramid is resampled at
+        the new points instead of running the encoder again — re-keys
+        become encoder-free."""
         img = _batched(image, 4)
         pts = _batched(np.asarray(points, np.float32), 3)
         d = np.asarray(depths, np.float32)
@@ -166,7 +187,12 @@ class TwoViewTracker:
             d = d[..., 0]
         d = _batched(d, 2)
         k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
-        ref_sampled = self._keyframe_features(self.variables, img, pts)
+        if reuse_last_target and self._last_tgt_feats is not None:
+            ref_sampled = self._sample_feats(
+                self.variables, self._last_tgt_feats, pts)
+        else:
+            ref_sampled = self._keyframe_features(self.variables, img,
+                                                  pts)
         self._kf = (ref_sampled, k, pts, d)
 
     def track_frame(self, image_tgt, initR=None, initT=None,
@@ -186,9 +212,20 @@ class TwoViewTracker:
             initT = np.zeros((B, 3), np.float32)
         initR = _batched(np.asarray(initR, np.float32), 3)
         initT = np.asarray(initT, np.float32).reshape(B, -1)[:, :3]
+        # Pyramid in its own jit so a re-key on this frame can reuse it
+        # (set_keyframe(reuse_last_target=True)) and a second solve of
+        # the SAME frame (hybrid-rescue re-init) skips the encoder;
+        # arrays stay on device.
+        if image_tgt is getattr(self, "_last_tgt_img", None) \
+                and self._last_tgt_feats is not None:
+            feats_tgt = self._last_tgt_feats
+        else:
+            feats_tgt = self._features(self.variables, img2)
+            self._last_tgt_feats = feats_tgt
+            self._last_tgt_img = image_tgt
         R, t, keep, res = self._track_cached(self.variables, ref_sampled,
-                                             img2, k, pts, d, initR,
-                                             initT)
+                                             feats_tgt, img2, k, pts, d,
+                                             initR, initT)
         if with_residual:
             return (np.asarray(R), np.asarray(t), np.asarray(keep),
                     np.asarray(res))

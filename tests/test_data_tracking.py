@@ -120,3 +120,36 @@ class TestOdometry:
         assert len(traj) == 4
         assert stats.num_keyframes >= 1
         assert np.all(np.isfinite(traj.poses))
+
+
+def test_set_keyframe_reuse_last_target_matches_fresh():
+    """Re-key path: reusing the just-tracked frame's pyramid as the new
+    keyframe's must give the same cached features / subsequent track as
+    encoding the image again (it is the same image)."""
+    import jax.numpy as jnp
+
+    from banet_tpu.config import default_config
+    from banet_tpu.tracking import TwoViewTracker
+
+    H, W, N = 64, 96, 16
+    tracker = TwoViewTracker.initialize(default_config(),
+                                        image_size=(H, W), num_points=N)
+    rng = np.random.default_rng(0)
+    img1 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    k = np.asarray([W * 0.8, W * 0.8, W / 2, H / 2], np.float32)
+    pts = np.stack([rng.uniform(4, W - 4, N),
+                    rng.uniform(4, H - 4, N)], -1).astype(np.float32)
+    d = rng.uniform(1.0, 3.0, N).astype(np.float32)
+
+    tracker.set_keyframe(img1, k, pts, d)
+    tracker.track_frame(img2)  # caches img2's pyramid
+
+    # Re-key on img2 via reuse; compare the cached sampled features
+    # against a fresh encode of the same image.
+    tracker.set_keyframe(img2, k, pts, d, reuse_last_target=True)
+    reused = [np.asarray(x) for x in tracker._kf[0]]
+    tracker.set_keyframe(img2, k, pts, d)
+    fresh = [np.asarray(x) for x in tracker._kf[0]]
+    for a, b in zip(reused, fresh):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
