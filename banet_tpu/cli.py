@@ -70,6 +70,30 @@ def _cmd_odometry(args) -> int:
     f0 = seq[0]
     rgb0 = f0.load_rgb()
     H, W = rgb0.shape[:2]
+    retarget = None
+    seq_intr = seq.intrinsics
+    if getattr(args, "retarget", None):
+        # Reference-harness camera retargeting (deeptam
+        # view_utils.py:70-143 semantics, data/retarget.py): run any
+        # sequence at the checkpoint's operating resolution.
+        import numpy as _np
+
+        from banet_tpu.data.retarget import (adjust_intrinsics,
+                                             default_retarget_intrinsics)
+
+        Hn, Wn = args.retarget
+        if getattr(args, "retarget_intrinsics", None):
+            k_new = _np.asarray(args.retarget_intrinsics, _np.float32)
+        else:
+            k_new = default_retarget_intrinsics(seq_intr, (H, W),
+                                                (Hn, Wn))
+
+        def retarget(rgb, depth):  # noqa: F811
+            return adjust_intrinsics(rgb, depth, seq_intr, k_new,
+                                     (Hn, Wn))
+
+        seq_intr = k_new
+        H, W = Hn, Wn
     cfg = default_config()
     if args.iters:
         import dataclasses
@@ -138,9 +162,14 @@ def _cmd_odometry(args) -> int:
                             tnet=tnet, tnet_variables=tnet_vars,
                             tnet_size=tuple(args.tnet_size),
                             tnet_mode=args.tnet_mode)
-    frames = ((f.timestamp, f.load_rgb(), f.load_depth())
-              for f in seq.frames[:args.max_frames])
-    traj, stats = runner.run(frames, seq.intrinsics)
+    if retarget is None:
+        frames = ((f.timestamp, f.load_rgb(), f.load_depth())
+                  for f in seq.frames[:args.max_frames])
+    else:
+        frames = ((f.timestamp,) + retarget(f.load_rgb(),
+                                            f.load_depth())
+                  for f in seq.frames[:args.max_frames])
+    traj, stats = runner.run(frames, seq_intr)
     save_tum_trajectory(args.out, traj)
     out = {"frames": stats.num_frames,
            "keyframes": stats.num_keyframes,
@@ -363,6 +392,16 @@ def main(argv=None) -> int:
                          "warm-start solve looks broken (adopted iff "
                          "the feature residual improves); always: try "
                          "it every frame under the same test")
+    po.add_argument("--retarget", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="resize+crop every frame to this resolution "
+                         "with matched intrinsics before tracking "
+                         "(reference deeptam view_utils.py:70-143)")
+    po.add_argument("--retarget-intrinsics", type=float, nargs=4,
+                    default=None, metavar=("FX", "FY", "CX", "CY"),
+                    help="target intrinsics for --retarget (default: "
+                         "source intrinsics scaled by the resolution "
+                         "ratio — plain resize, no crop)")
     po.add_argument("--window-ba", action="store_true",
                     help="refine each keyframe window with the joint "
                     "Schur-complement BA")
