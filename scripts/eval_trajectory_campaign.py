@@ -91,6 +91,13 @@ def main():
     ap.add_argument("--pair-stride", type=int, default=2)
     ap.add_argument("--max-pairs", type=int, default=20)
     ap.add_argument("--window-ba", action="store_true")
+    ap.add_argument("--window-ba-mode", choices=["single", "multi"],
+                    default="single")
+    ap.add_argument("--domain", default=None, choices=["A", "B"],
+                    help="render the held-out sequence from this "
+                         "nuisance domain (data/synthetic.DOMAINS) — "
+                         "'B' is the held-out-statistics domain for "
+                         "generalization evals")
     ap.add_argument("--iters", type=int, nargs="+", default=None,
                     help="per-level GN iteration caps for odometry/pairs")
     ap.add_argument("--tnet-ckpt", default=None,
@@ -115,7 +122,8 @@ def main():
         write_rendered_sequence(args.seq_dir, num_frames=args.frames,
                                 size=tuple(args.size), seed=args.seed,
                                 step_rot=args.step_rot,
-                                step_trans=args.step_trans)
+                                step_trans=args.step_trans,
+                                domain=args.domain)
 
     conditions = [("untrained", None, None)]
     for name, path in (("trained", args.ckpt),
@@ -139,7 +147,8 @@ def main():
                     "--num-points", str(args.num_points),
                     "--max-frames", str(args.frames)]
         if args.window_ba:
-            odo_args.append("--window-ba")
+            odo_args += ["--window-ba", "--window-ba-mode",
+                         args.window_ba_mode]
         if args.iters:
             odo_args += ["--iters"] + [str(i) for i in args.iters]
         if tnet:
@@ -187,7 +196,10 @@ def main():
                         "size": list(args.size), "seed": args.seed,
                         "step_rot": args.step_rot,
                         "step_trans": args.step_trans,
-                        "window_ba": bool(args.window_ba)},
+                        "window_ba": bool(args.window_ba),
+                        "window_ba_mode": (args.window_ba_mode
+                                           if args.window_ba else None),
+                        "domain": args.domain},
            "results": results}
     base = results.get("untrained", {}).get("ate_rpe", {})
     for name in ("trained", "trained_ema", "hybrid_untrained",
