@@ -113,12 +113,15 @@ def _iota_consts():
     return c
 
 
-def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
-            w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
-            pose_out, state_out, *, C: int, N: int, exp_base: float,
-            residual_ratio: float, diag_floor: float,
-            renormalize: bool, reject: bool, early_term: bool,
-            angle_change: float, translation_change: float):
+def _iter_math(v00, v01, v10, v11, ref, pw, juv, pose, st,
+               w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+               *, C: int, N: int, exp_base: float,
+               residual_ratio: float, diag_floor: float,
+               renormalize: bool, reject: bool, early_term: bool,
+               angle_change: float, translation_change: float):
+    """One GN iteration on loaded VMEM values -> (pose_next,
+    state_next).  Shared body of the single-step kernel and the
+    multi-iteration grid kernel below."""
     f32 = jnp.float32
     K = _iota_consts()
 
@@ -133,17 +136,17 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
         vector in sublanes and lanes at once)."""
         return dotf(dotf(ones81, scalar), ones18)
 
-    pwv = pw[:]                                       # (N, 8)
+    pwv = pw                                          # (N, 8)
     wx = pwv[:, 0:1]                                  # (N, 1)
     wy = pwv[:, 1:2]
     m = pwv[:, 2:3]
 
     # ---- blend taps; residual + interpolant gradients ----
-    a00, a01, a10, a11 = v00[:], v01[:], v10[:], v11[:]
+    a00, a01, a10, a11 = v00, v01, v10, v11
     top = a00 * (1 - wx) + a01 * wx
     bot = a10 * (1 - wx) + a11 * wx
     f = top * (1 - wy) + bot * wy
-    r = (f - ref[:]) * m                              # (N, C)
+    r = (f - ref) * m                                 # (N, C)
     gx = ((a01 - a00) * (1 - wy) + (a11 - a10) * wy) * m
     gy = ((a10 - a00) * (1 - wx) + (a11 - a01) * wx) * m
 
@@ -156,11 +159,11 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     res = jnp.mean(avg_r).reshape(1, 1)                # (1, 1)
 
     # ---- learned damping MLP (weights resident in VMEM) ----
-    h = _selu(dotf(avg_r, w1[:]) + b1[:])
-    h = _selu(dotf(h, w2[:]) + b2[:])
-    h = _selu(dotf(h, w3[:]) + b3[:])
-    h = _selu(dotf(h, w4[:]) + b4[:])
-    a_out = jnp.tanh(dotf(h, w5[:]) + b5[:])           # (1, 1)
+    h = _selu(dotf(avg_r, w1) + b1)
+    h = _selu(dotf(h, w2) + b2)
+    h = _selu(dotf(h, w3) + b3)
+    h = _selu(dotf(h, w4) + b4)
+    a_out = jnp.tanh(dotf(h, w5) + b5)                 # (1, 1)
     norm = jnp.sqrt(jnp.sum(avg_r * avg_r)).reshape(1, 1)
     lam = jnp.exp((exp_base + a_out) *
                   jnp.log(jnp.maximum(norm, 1e-12)))   # (1, 1)
@@ -169,7 +172,7 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     # Contract the C axis first into the per-point 2x2 Gram components
     # (an (N*C, 8) "M" layout would lane-pad 8 -> 128 and blow VMEM):
     # AtA = sum_n a JuJu^T + b (JuJv^T + JvJu^T) + c JvJv^T.
-    juvv = juv[:]
+    juvv = juv
     Ju = juvv[:, 0:8]                                  # (N, 8)
     Jv = juvv[:, 8:16]
     a_g = jnp.sum(gx * gx, axis=1, keepdims=True)      # (N, 1)
@@ -202,7 +205,7 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     delta = aug[:, 8:9]                                # (8, 1); rows 6,7=0
 
     # ---- accept / reject on the carried state ----
-    st = state_in[:]                                   # (1, 8)
+    # st: (1, 8) carried state row
     res_cur = st[:, 0:1]                               # (1, 1)
     done = st[:, 1:2]
     first = st[:, 2:3]
@@ -217,7 +220,7 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
         done + (1.0 - accept) * (1.0 - first) * (1.0 - done), 1.0)
 
     # Current/proposal pose bookkeeping: prop = rows 0:3, cur = rows 4:7.
-    pose = pose_in[:]                                  # (8, 8)
+    # pose: (8, 8) carried pose block
     top4 = K["top4_rows"]                              # rows 0..3
     prop = pose * top4                                 # [R|t] rows 0:3
     cur = dotf(K["P_up"], pose)                        # rows 4:7 -> 0:3
@@ -271,10 +274,50 @@ def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
     pose_next = new_prop * top4 + dotf(K["P_dn"], new_cur)
     keep = (jnp.sum(m) / float(N)).reshape(1, 1)
 
-    pose_out[:] = pose_next
-    state_out[:] = jnp.concatenate(
+    state_next = jnp.concatenate(
         [res_new, new_done, jnp.zeros((1, 1), f32), lam, accept, keep,
          jnp.zeros((1, 2), f32)], axis=1)
+    return pose_next, state_next
+
+
+def _kernel(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
+            w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+            pose_out, state_out, **kw):
+    pose_next, state_next = _iter_math(
+        v00[:], v01[:], v10[:], v11[:], ref[:], pw[:], juv[:],
+        pose_in[:], state_in[:], w1[:], b1[:], w2[:], b2[:], w3[:],
+        b3[:], w4[:], b4[:], w5[:], b5[:], **kw)
+    pose_out[:] = pose_next
+    state_out[:] = state_next
+
+
+def _kernel_multi(v00, v01, v10, v11, ref, pw, juv, pose_in, state_in,
+                  w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                  pose_out, state_out, **kw):
+    """Grid-carried multi-iteration variant: grid=(K,), the pose/state
+    OUTPUT blocks persist across sequential grid steps (Mosaic output
+    revisiting), so K GN iterations run in ONE kernel launch.  The
+    taps are FROZEN (sampled once at the entry pose): semantically a
+    stale-warp GN — useful as (a) the measured lower bound for any
+    multi-iteration fused kernel's per-iteration cost (the decision
+    experiment for VERDICT r3 item 2: if the in-kernel marginal
+    iteration is not much cheaper than XLA's ~26 us pipelined chain,
+    fusing more iterations cannot win even with a free in-kernel
+    gather), and (b) a cheap refinement mode when the warp is already
+    sub-pixel."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        pose_out[:] = pose_in[:]
+        state_out[:] = state_in[:]
+
+    pose_next, state_next = _iter_math(
+        v00[:], v01[:], v10[:], v11[:], ref[:], pw[:], juv[:],
+        pose_out[:], state_out[:], w1[:], b1[:], w2[:], b2[:], w3[:],
+        b3[:], w4[:], b4[:], w5[:], b5[:], **kw)
+    pose_out[:] = pose_next
+    state_out[:] = state_next
 
 
 def _mlp_params(params):
@@ -345,3 +388,46 @@ def gn_tail_step(taps: Tuple[jnp.ndarray, ...], ref: jnp.ndarray,
         out_specs=(vspec, vspec),
         interpret=interpret,
     )(*taps, ref, pw, juv, pose, state, *flat)
+
+
+def gn_tail_multi(taps: Tuple[jnp.ndarray, ...], ref: jnp.ndarray,
+                  pw: jnp.ndarray, juv: jnp.ndarray,
+                  pose: jnp.ndarray, state: jnp.ndarray,
+                  mlp_params, num_iters: int, *,
+                  exp_base: float = 2.0,
+                  residual_ratio: float = 1.0, diag_floor: float = 1e-5,
+                  renormalize: bool = False, reject: bool = True,
+                  early_term: bool = True,
+                  angle_change: float = 0.002 * 3.14 / 180.0,
+                  translation_change: float = 2e-4,
+                  interpret: bool = False):
+    """``num_iters`` GN iterations in ONE kernel launch (grid-carried
+    pose/state, frozen taps — see _kernel_multi).  The decision probe
+    for the multi-iteration fused-solver idea: its slope over
+    ``num_iters`` is the in-kernel marginal iteration cost, the hard
+    floor any gather-included multi-iteration kernel would add to.
+    Same I/O contract as ``gn_tail_step``."""
+    N, C = ref.shape
+    kernel = functools.partial(
+        _kernel_multi, C=C, N=N, exp_base=exp_base,
+        residual_ratio=residual_ratio, diag_floor=diag_floor,
+        renormalize=renormalize, reject=reject, early_term=early_term,
+        angle_change=angle_change,
+        translation_change=translation_change)
+    flat = _mlp_params(mlp_params)
+    ins = list(taps) + [ref, pw, juv, pose, state] + flat
+
+    def spec(x):
+        nd = x.ndim
+        return pl.BlockSpec(x.shape, lambda i, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_iters,),
+        out_shape=(jax.ShapeDtypeStruct((8, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 8), jnp.float32)),
+        in_specs=[spec(x) for x in ins],
+        out_specs=(spec(jnp.zeros((8, 8))), spec(jnp.zeros((1, 8)))),
+        interpret=interpret,
+    )(*ins)

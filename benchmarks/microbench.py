@@ -575,8 +575,96 @@ def bench_frame_slope():
                           "t_k_big_ms": round(t_b * 1e3, 3)}))
 
 
+def bench_tail_multi():
+    """Decision probe for the multi-iteration fused GN kernel (VERDICT
+    r3 item 2): the slope of ``gn_tail_multi`` over its grid length is
+    the marginal IN-KERNEL iteration cost — the hard floor any
+    gather-included multi-iteration kernel would add to.  Compared
+    against chaining the single-step kernel (per-LAUNCH cost) and the
+    XLA scan iteration (iter_slope's iter_full_chol_pallasmlp,
+    ~0.052 ms).  If the in-kernel marginal is not well below the XLA
+    chain's ~0.026 ms solver portion, a multi-iteration kernel cannot
+    win even with a free in-kernel gather -> refutation artifact."""
+    from banet_tpu.models.damping import DampingNet
+    from banet_tpu.ops.pallas_gn_tail import (gn_tail_multi,
+                                              gn_tail_step,
+                                              initial_state, pack_pose)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    interp = not on_tpu
+    N, C = 1024, 128
+    rng = np.random.default_rng(0)
+
+    def make(seed):
+        r = np.random.default_rng(seed)
+        taps = tuple(jnp.asarray(r.normal(size=(N, C)), jnp.float32)
+                     for _ in range(4))
+        ref = jnp.asarray(r.normal(size=(N, C)), jnp.float32)
+        pw = (jnp.zeros((N, 8), jnp.float32)
+              .at[:, 0].set(jnp.asarray(r.uniform(0, 1, N),
+                                        jnp.float32))
+              .at[:, 1].set(jnp.asarray(r.uniform(0, 1, N),
+                                        jnp.float32))
+              .at[:, 2].set(1.0))
+        juv = jnp.asarray(0.1 * r.normal(size=(N, 16)), jnp.float32)
+        juv = juv.at[:, 6:8].set(0).at[:, 14:16].set(0)
+        return taps, ref, pw, juv
+
+    dnet = DampingNet(C)
+    params = dnet.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, C)))["params"]
+    pose0 = pack_pose(jnp.eye(3), jnp.zeros(3))
+    st0 = initial_state()
+
+    def multi(K):
+        @jax.jit
+        def fn(taps, ref, pw, juv):
+            p, s = gn_tail_multi(taps, ref, pw, juv, pose0, st0,
+                                 params, K, reject=False,
+                                 early_term=False, interpret=interp)
+            return jnp.sum(p) + jnp.sum(s)
+        return fn
+
+    def chain(K):
+        @jax.jit
+        def fn(taps, ref, pw, juv):
+            def body(_, carry):
+                p, s = carry
+                return gn_tail_step(taps, ref, pw, juv, p, s, params,
+                                    reject=False, early_term=False,
+                                    interpret=interp)
+            p, s = jax.lax.fori_loop(0, K, body, (pose0, st0))
+            return jnp.sum(p) + jnp.sum(s)
+        return fn
+
+    k1, k2 = (8, 264) if on_tpu else (2, 6)
+    for name, maker in (("tail_multi_grid", multi),
+                        ("tail_single_chain", chain)):
+        def timed(K):
+            fn = maker(K)
+            args = make(97)
+            _ = np.asarray(fn(*args))
+            ts = []
+            for seed in range(1, 5):
+                args = make(1000 * K + seed)
+                _ = np.asarray(jnp.sum(args[1]))
+                t0 = time.perf_counter()
+                out = fn(*args)
+                _ = np.asarray(out)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t_a, t_b = timed(k1), timed(k2)
+        per = max((t_b - t_a) / (k2 - k1), 1e-9)
+        print(json.dumps({"component": name,
+                          "per_iter_ms": round(per * 1e3, 4),
+                          "t_k_small_ms": round(t_a * 1e3, 3),
+                          "t_k_big_ms": round(t_b * 1e3, 3)}))
+
+
 BENCHES = {
     "sampler": bench_sampler,
+    "tail_multi": bench_tail_multi,
     "frame_slope": bench_frame_slope,
     "iter_slope": bench_iter_slope,
     "gn_breakdown": bench_gn_breakdown,
