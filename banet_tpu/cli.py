@@ -392,6 +392,32 @@ def _cmd_depth(args) -> int:
         print(f"restored {len(restored)} vars, skipped {len(skipped)}",
               file=sys.stderr)
 
+    if args.window:
+        from banet_tpu.eval.depth_eval import evaluate_depth_windows
+
+        F = args.window
+
+        def make_windows():
+            starts = list(range(0, len(frames) - F,
+                                args.stride))[:args.max_pairs]
+            for i in starts:
+                yield dict(
+                    image_key=frames[i].load_rgb(),
+                    images_tgt=np.stack(
+                        [frames[i + 1 + j].load_rgb()
+                         for j in range(F)]),
+                    depth_key=frames[i].load_depth())
+
+        import numpy as np
+
+        results = evaluate_depth_windows(
+            tracker, make_windows(), seq.intrinsics,
+            num_points=args.num_points, max_depth=args.max_depth)
+        out = summarize_depth(results)
+        out["window_frames"] = F
+        print(json.dumps(out, indent=2))
+        return 0
+
     def make_pairs():
         starts = list(range(0, len(frames) - args.stride,
                             args.stride))[:args.max_pairs]
@@ -552,6 +578,11 @@ def main(argv=None) -> int:
     pd.add_argument("--max-depth", type=float, default=10.0,
                     help="indoor RGB-D cap (use 80 for KITTI-like)")
     pd.add_argument("--checkpoint", default=None)
+    pd.add_argument("--window", type=int, default=0, metavar="F",
+                    help="score MULTI-FRAME window-BA depth instead of "
+                         "the two-view pair: keyframe + F consecutive "
+                         "targets (real baselines make the scale "
+                         "observable; tracker.window_depth)")
     pd.set_defaults(fn=_cmd_depth)
 
     pt = sub.add_parser("train", help="train (synthetic data)")

@@ -104,6 +104,45 @@ def evaluate_depth_pairs(tracker, pairs: Iterable[dict],
     return results
 
 
+def evaluate_depth_windows(tracker, windows: Iterable[dict],
+                           intrinsics: np.ndarray,
+                           num_points: int = 1024,
+                           num_iters: int = 5,
+                           rng: Optional[np.random.Generator] = None,
+                           max_depth: float = 80.0
+                           ) -> List[Dict[str, float]]:
+    """Score the MULTI-FRAME window BA's initial and refined depth maps
+    (tracker.window_depth): real baselines across F frames make the
+    scale observable, unlike the near-degenerate small-baseline pair
+    (VERDICT r3 item 7 — the paper's joint-BA-improves-depth claim is a
+    window claim).
+
+    ``windows``: dicts with image_key (H, W, 3), images_tgt (F, H, W,
+    3), depth_key (H, W GT for the keyframe)."""
+    rng = rng or np.random.default_rng(0)
+    results = []
+    for w in windows:
+        H, W = w["image_key"].shape[:2]
+        pts = np.stack([
+            rng.uniform(8.0, W - 8.0, (1, num_points)),
+            rng.uniform(8.0, H - 8.0, (1, num_points))], axis=-1)
+        init, refined = tracker.window_depth(
+            w["image_key"], w["images_tgt"], intrinsics,
+            pts.astype(np.float32), num_iters=num_iters)
+        gt = np.asarray(w["depth_key"], np.float64)
+        gt = gt[:(H // 2) * 2, :(W // 2) * 2].reshape(
+            H // 2, 2, W // 2, 2)
+        cnt = (gt > 0).sum(axis=(1, 3))
+        gt_half = np.where(cnt > 0,
+                           gt.sum(axis=(1, 3)) / np.maximum(cnt, 1), 0.0)
+        rec = {}
+        for name, pred in (("init", init), ("refined", refined)):
+            m = depth_metrics(pred, gt_half, max_depth=max_depth)
+            rec.update({f"{name}_{k}": v for k, v in m.items()})
+        results.append(rec)
+    return results
+
+
 def summarize_depth(results: List[Dict[str, float]]) -> Dict[str, float]:
     out = {}
     if not results:

@@ -458,7 +458,8 @@ class BANet(nn.Module):
         refined = depth_map_from_basis(depth_map, basis_map,
                                        W[None])[0, ..., 0]
         return dict(Rs=Rs, ts=ts, W=W, residual_history=res_hist,
-                    refined_depth_map=refined)
+                    refined_depth_map=refined,
+                    init_depth_map=depth_map[0, ..., 0])
 
     def multi_window_bundle_adjust(self, images_key: jnp.ndarray,
                                    images_tgt: jnp.ndarray,

@@ -168,6 +168,38 @@ class TwoViewTracker:
                                              k, pts)
         return np.asarray(init[..., 0]), np.asarray(refined[..., 0])
 
+    def window_depth(self, image_key, images_tgt, intrinsics, points,
+                     num_iters: int = 5):
+        """Multi-frame window BA depth: keyframe + F targets with REAL
+        baselines make the scale observable (the two-view small-
+        baseline pair is near-degenerate in the scale gauge —
+        ba/bundle_solver.py), so this is the depth-refinement showcase
+        the paper's joint-BA claim is about (final depth = init +
+        basis . W, reference bundlenet.py:397, solved over a window as
+        in BundleResize across frames).  Returns (init (H/2, W/2),
+        refined (H/2, W/2)) numpy."""
+        if not hasattr(self, "_window_depth"):
+            model = self.model
+
+            import functools
+
+            @functools.partial(jax.jit, static_argnums=(5,))
+            def _wd(variables, img_key, imgs_tgt, k, pts, num_iters):
+                intr = Intrinsics.from_array(k)
+                out = model.apply(variables, img_key, imgs_tgt, intr,
+                                  pts, num_iters=num_iters,
+                                  method=model.window_bundle_adjust)
+                return out["init_depth_map"], out["refined_depth_map"]
+
+            self._window_depth = _wd
+        img_key = jnp.asarray(image_key, jnp.float32)
+        imgs = jnp.asarray(images_tgt, jnp.float32)
+        pts = _batched(np.asarray(points, np.float32), 3)
+        k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
+        init, refined = self._window_depth(self.variables, img_key,
+                                           imgs, k, pts, num_iters)
+        return np.asarray(init), np.asarray(refined)
+
     def set_keyframe(self, image, intrinsics, points, depths,
                      reuse_last_target: bool = False) -> None:
         """Cache the keyframe's per-level point features; subsequent
