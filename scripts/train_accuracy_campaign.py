@@ -66,6 +66,15 @@ def main():
                          "render at 15/16 H, trim a 4-px border, "
                          "resize to (H, W), remap points/intrinsics "
                          "with crop_remap/crop_adjusted_intrinsics")
+    ap.add_argument("--legacy-bundle-train", action="store_true",
+                    help="train with the round-2 bundle-solve "
+                         "defaults (damp_last_diag=False, no W prior) "
+                         "— the campaign_r4 recipe; isolates whether "
+                         "the round-3 bundle-robustness defaults "
+                         "changed the training dynamics (round-4 "
+                         "finding: pad mode and curriculum are NOT "
+                         "what separates r4's 0.0032 easy ATE from "
+                         "r5/r6's ~0.012)")
     ap.add_argument("--resume-from-step", type=int, default=0,
                     help="restore <out>/ckpt (params+batch_stats) and "
                          "<out>/ckpt_ema (EMA params) and continue the "
@@ -105,6 +114,11 @@ def main():
     if overrides:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, **overrides))
+    if args.legacy_bundle_train:
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(
+                cfg.solver, damp_last_diag=False,
+                bundle_w_prior_rel=0.0))
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "model_config.json"), "w") as f:
