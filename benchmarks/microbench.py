@@ -662,8 +662,91 @@ def bench_tail_multi():
                           "t_k_big_ms": round(t_b * 1e3, 3)}))
 
 
+def bench_feature_ab():
+    """A/B the round-4 feature-path layout knobs at the shipped
+    inference config (B=1, 256x320): conv pad mode (symmetric vs the
+    border-corrected symmetric_fast vs zero), folded pyramid
+    aggregation, and the B=2 cold-pair batched pass.  All candidates
+    are exact or near-exact function-preserving layouts (parity tests
+    in tests/test_fast_sym_conv.py / test_pyramid_fold.py); winners get
+    flipped in config.inference_config."""
+    import dataclasses
+
+    from banet_tpu.config import default_config, inference_config
+    from banet_tpu.geometry.camera import Intrinsics
+    from banet_tpu.models.banet import BANet
+
+    H, W = 256, 320
+    base = inference_config(default_config(), image_size=(H, W))
+    img0 = jnp.zeros((1, H, W, 3))
+    intr = Intrinsics.from_array(
+        jnp.array([[0.8 * W, 0.8 * W, W / 2.0, H / 2.0]], jnp.float32))
+    pts0 = jnp.full((1, 64, 2), 32.0)
+    variables = None
+
+    def config_variant(**model_over):
+        return dataclasses.replace(
+            base, model=dataclasses.replace(base.model, **model_over))
+
+    cases = [
+        ("feats_symmetric", config_variant(), 1),
+        ("feats_symmetric_fast",
+         config_variant(conv_pad_mode="symmetric_fast"), 1),
+        ("feats_zero", config_variant(conv_pad_mode="zero"), 1),
+        ("feats_symfast_foldagg",
+         config_variant(conv_pad_mode="symmetric_fast",
+                        pyramid_fold_agg=True), 1),
+        ("feats_foldagg", config_variant(pyramid_fold_agg=True), 1),
+        # Cold pair: two images per call (one B=2 batched pass via
+        # pose_track's pair path vs the per-frame B=1 number above).
+        ("feats_pair_B2", config_variant(), 2),
+    ]
+    for name, cfg, B in cases:
+        model = BANet(cfg)
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(2), img0, img0,
+                                   intr, pts0)
+
+        def feats_chain(k, img):
+            def body(i, carry):
+                im, acc = carry
+                f = model.apply(variables, im + 1e-6 * acc,
+                                method=model.features)
+                s = sum(jnp.sum(fl.astype(jnp.float32)) for fl in f)
+                return (im, acc + s * 1e-12)
+            _, acc = jax.lax.fori_loop(0, k, body,
+                                       (img, jnp.float32(0)))
+            return acc
+
+        jfn = jax.jit(feats_chain)
+
+        def timed(k):
+            img = 255.0 * jax.random.uniform(jax.random.PRNGKey(90),
+                                             (B, H, W, 3))
+            _ = np.asarray(jfn(jnp.int32(k), img))
+            ts = []
+            for seed in range(1, 4):
+                img = 255.0 * jax.random.uniform(
+                    jax.random.PRNGKey(1000 * k + seed), (B, H, W, 3))
+                _ = np.asarray(jnp.sum(img))
+                t0 = time.perf_counter()
+                out = jfn(jnp.int32(k), img)
+                _ = np.asarray(out)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        k1, k2 = 2, 18
+        t_a, t_b = timed(k1), timed(k2)
+        per = max((t_b - t_a) / (k2 - k1), 1e-9)
+        print(json.dumps({
+            "component": name, "batch": B,
+            "per_pass_ms": round(per * 1e3, 4),
+            "per_image_ms": round(per * 1e3 / B, 4)}))
+
+
 BENCHES = {
     "sampler": bench_sampler,
+    "feature_ab": bench_feature_ab,
     "tail_multi": bench_tail_multi,
     "frame_slope": bench_frame_slope,
     "iter_slope": bench_iter_slope,
