@@ -112,3 +112,40 @@ def test_fused_pyramid_converges():
     terr = float(jnp.linalg.norm(t - prob["t_true"][0]))
     assert ang < ang0 / 8, (ang, ang0)
     assert terr < terr0 / 4, (terr, terr0)
+
+
+def test_multi_iteration_grid_matches_chained_single():
+    """gn_tail_multi(K) == K sequential gn_tail_step calls (interpret
+    mode) — the grid-carried pose/state revisiting is exact."""
+    import numpy as np
+
+    from banet_tpu.models.damping import DampingNet
+    from banet_tpu.ops.pallas_gn_tail import (gn_tail_multi,
+                                              gn_tail_step,
+                                              initial_state, pack_pose)
+
+    rng = np.random.default_rng(0)
+    N, C = 64, 16
+    taps = tuple(jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+                 for _ in range(4))
+    ref = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+    pw = (jnp.zeros((N, 8), jnp.float32).at[:, 0].set(0.3)
+          .at[:, 1].set(0.6).at[:, 2].set(1.0))
+    juv = jnp.asarray(0.1 * rng.normal(size=(N, 16)), jnp.float32)
+    juv = juv.at[:, 6:8].set(0).at[:, 14:16].set(0)
+    pose = pack_pose(jnp.eye(3), jnp.zeros(3))
+    st = initial_state()
+    net = DampingNet(C)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, C)))["params"]
+
+    p1, s1 = pose, st
+    for _ in range(3):
+        p1, s1 = gn_tail_step(taps, ref, pw, juv, p1, s1, params,
+                              interpret=True)
+    p2, s2 = gn_tail_multi(taps, ref, pw, juv, pose, st, params, 3,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-6)
