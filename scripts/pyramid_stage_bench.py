@@ -51,7 +51,10 @@ def main():
                          "so prefix differences attribute time per"
                          "stage without touching the model")
     ap.add_argument("--pad-mode", default=None,
-                    choices=["symmetric", "zero"])
+                    choices=["symmetric", "symmetric_fast", "zero"])
+    ap.add_argument("--fold-agg", action="store_true",
+                    help="folded pyramid aggregation "
+                         "(ModelConfig.pyramid_fold_agg)")
     ap.add_argument("--feature-dtype", default=None,
                     choices=["float32", "bfloat16"])
     ap.add_argument("--s2d", action="store_true",
@@ -76,6 +79,8 @@ def main():
         base_overrides["solver_feature_dtype"] = args.feature_dtype
     if args.s2d:
         base_overrides["stem_s2d"] = True
+    if args.fold_agg:
+        base_overrides["pyramid_fold_agg"] = True
     if base_overrides:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, **base_overrides))
