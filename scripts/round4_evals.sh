@@ -49,6 +49,14 @@ python -m banet_tpu.cli depth /tmp/heldout_hard_r6 --stride 3 \
   --num-points 512 --max-pairs 8 --window 4 \
   --checkpoint $R6/ckpt_ema > $R6/depth_window_hard.json 2>$R6/depth_window_hard.log
 
+# 5b. r5c same-harness triage (completes the 3-way postmortem table).
+python scripts/eval_trajectory_campaign.py \
+  --ckpt artifacts/campaign_r5c/ckpt \
+  --ckpt-ema artifacts/campaign_r5c/ckpt_ema \
+  --seq-dir /tmp/heldout_seq_r6 --frames 60 --size 256 320 \
+  --seed 9999 --step-rot 0.01 --step-trans 0.02 --num-points 512 \
+  --triage --out $R6/triage_r5c_today.json > $R6/triage_r5c_today.log 2>&1
+
 # 6. campaign_r7 domain evals: in-domain (A) + HELD-OUT domain (B).
 for dom in A B; do
   python scripts/eval_trajectory_campaign.py \
