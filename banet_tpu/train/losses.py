@@ -91,16 +91,29 @@ def loss_flow(intr: Intrinsics, depth: jnp.ndarray, mask: jnp.ndarray,
 def loss_depth_l1(depth_pred: jnp.ndarray, depth_gt: jnp.ndarray,
                   mask: Optional[jnp.ndarray] = None,
                   log_space: bool = True) -> jnp.ndarray:
-    """Masked L1 depth supervision, optionally on log depth."""
+    """Masked L1 depth supervision, optionally on log depth.
+
+    NaN-hardened: the refined depth comes through the (6+K) bundle
+    solve, which CAN emit non-finite values on degenerate batches (a
+    low-texture domain-randomized crop can make the basis block
+    numerically singular — observed poisoning campaign_r7's depth term
+    from step 7400).  A non-finite prediction pixel must not poison
+    the batch loss, and — the classic autodiff pitfall — sanitizing
+    must happen BEFORE the log/max chain: ``0 * d(log(max(NaN)))`` is
+    NaN in the VJP even under a zero mask, so the pixel is replaced
+    (not just masked) and excluded from the mask (same guard pattern
+    as ops/solve.py)."""
+    finite = jnp.isfinite(depth_pred)
+    pred = jnp.where(finite, depth_pred, 1.0)
     if log_space:
         eps = 1e-3
-        err = jnp.abs(jnp.log(jnp.maximum(depth_pred, eps)) -
+        err = jnp.abs(jnp.log(jnp.maximum(pred, eps)) -
                       jnp.log(jnp.maximum(depth_gt, eps)))
     else:
-        err = jnp.abs(depth_pred - depth_gt)
-    if mask is None:
-        return jnp.mean(err)
-    m = mask.astype(err.dtype)
+        err = jnp.abs(pred - depth_gt)
+    m = finite.astype(err.dtype)
+    if mask is not None:
+        m = m * mask.astype(err.dtype)
     return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 

@@ -148,3 +148,30 @@ class TestCropPipeline:
             assert np.isfinite(float(metrics["total"]))
             assert float(metrics["grad_norm"]) > 0.0
         assert int(state.step) == 2
+
+
+def test_depth_loss_survives_nonfinite_pred():
+    """A non-finite refined-depth pixel (degenerate bundle solve on a
+    low-texture batch — observed in campaign_r7) must poison neither
+    the loss value nor its gradient (the 0 * d(log(NaN)) VJP pitfall:
+    sanitize BEFORE the log chain)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from banet_tpu.train.losses import loss_depth_l1
+
+    gt = jnp.full((2, 4, 4), 3.0)
+    mask = jnp.ones((2, 4, 4))
+
+    def loss(x):
+        pred = x.at[0, 0, 0].set(jnp.nan).at[0, 0, 1].set(jnp.inf)
+        return loss_depth_l1(pred, gt, mask)
+
+    x = jnp.full((2, 4, 4), 2.0)
+    val = loss(x)
+    g = jax.grad(loss)(x)
+    assert bool(jnp.isfinite(val))
+    assert bool(jnp.all(jnp.isfinite(g))), g
+    # Clean pixels still supervise.
+    assert float(jnp.abs(g[1]).sum()) > 0
