@@ -42,7 +42,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     else:
         lr = tc.learning_rate
     tx = optax.adamw(lr, weight_decay=tc.weight_decay)
-    return optax.chain(optax.clip_by_global_norm(10.0), tx)
+    inner = optax.chain(optax.clip_by_global_norm(10.0), tx)
+    # Skip (don't apply) any update whose gradients are non-finite:
+    # one NaN gradient — e.g. the (6+K) bundle-solve VJP on a near-
+    # singular domain-randomized batch — otherwise poisons EVERY
+    # parameter through clip_by_global_norm(NaN) and the run dies
+    # silently (the solver's own forward NaN-guards then emit identity
+    # poses, so the loss curves keep looking plausibly finite — this
+    # is exactly how campaign_r7's first attempt was lost; see
+    # artifacts/campaign_r7/README_NANPOSTMORTEM.md).  100 consecutive
+    # bad steps still abort via optax's counter semantics.
+    return optax.apply_if_finite(inner, max_consecutive_errors=100)
 
 
 def create_train_state(cfg: Config, rng, image_size=(64, 96),
