@@ -57,16 +57,6 @@ python scripts/eval_trajectory_campaign.py \
   --seed 9999 --step-rot 0.01 --step-trans 0.02 --num-points 512 \
   --triage --out $R6/triage_r5c_today.json > $R6/triage_r5c_today.log 2>&1
 
-# 6. campaign_r7 domain evals: in-domain (A) + HELD-OUT domain (B).
-for dom in A B; do
-  python scripts/eval_trajectory_campaign.py \
-    --ckpt $R7/ckpt --ckpt-ema $R7/ckpt_ema \
-    --seq-dir /tmp/heldout_dom$dom --frames 60 --size 256 320 \
-    --seed 9999 --step-rot 0.01 --step-trans 0.02 --num-points 512 \
-    --domain $dom --triage \
-    --out $R7/triage_domain$dom.json > $R7/triage_domain$dom.log 2>&1
-done
-
 # 7. On-chip microbench A/Bs: feature layouts + multi-iteration kernel.
 python benchmarks/microbench.py feature_ab \
   > artifacts/PROFILE_r04_feature_ab.jsonl 2>artifacts/PROFILE_r04_feature_ab.log
