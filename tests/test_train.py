@@ -175,3 +175,44 @@ def test_depth_loss_survives_nonfinite_pred():
     assert bool(jnp.all(jnp.isfinite(g))), g
     # Clean pixels still supervise.
     assert float(jnp.abs(g[1]).sum()) > 0
+
+
+def test_nonfinite_grad_step_is_skipped():
+    """A batch whose gradients go non-finite must leave the parameters
+    UNCHANGED (optax.apply_if_finite) instead of NaN-poisoning every
+    leaf through clip_by_global_norm — the silent killer of
+    campaign_r7 attempt 1 (artifacts/campaign_r7/
+    README_NANPOSTMORTEM.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from banet_tpu.config import default_config
+    from banet_tpu.train.trainer import make_optimizer
+
+    import dataclasses
+
+    cfg = default_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, lr_schedule="constant"))  # warmup lr=0 would make
+    tx = make_optimizer(cfg)                 # the first update zero
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    state = tx.init(params)
+
+    good = {"w": jnp.full((3,), 0.1), "b": jnp.full((2,), 0.2)}
+    upd, state = tx.update(good, state, params)
+    p1 = optax.apply_updates(params, upd)
+    assert float(jnp.abs(p1["w"] - params["w"]).sum()) > 0
+
+    bad = {"w": jnp.array([0.1, jnp.nan, 0.1]), "b": jnp.zeros((2,))}
+    upd2, state = tx.update(bad, state, p1)
+    p2 = optax.apply_updates(p1, upd2)
+    np.testing.assert_array_equal(np.asarray(p2["w"]),
+                                  np.asarray(p1["w"]))
+    assert bool(jnp.all(jnp.isfinite(p2["w"])))
+
+    # And a later good step trains again.
+    upd3, state = tx.update(good, state, p2)
+    p3 = optax.apply_updates(p2, upd3)
+    assert float(jnp.abs(p3["w"] - p2["w"]).sum()) > 0
