@@ -404,7 +404,9 @@ class BANet(nn.Module):
                              images_tgt: jnp.ndarray, intr: Intrinsics,
                              points: jnp.ndarray, num_iters: int = 5,
                              level: int = 2, train: bool = False,
-                             frame_mask: Optional[jnp.ndarray] = None):
+                             frame_mask: Optional[jnp.ndarray] = None,
+                             Rs0: Optional[jnp.ndarray] = None,
+                             ts0: Optional[jnp.ndarray] = None):
         """Keyframe-window BA end-to-end (BASELINE configs #2/#3): the
         network predicts the keyframe's depth + basis, and a joint
         Schur-complement GN solve refines all F frame poses plus the
@@ -448,9 +450,16 @@ class BANet(nn.Module):
         damping = self.damping_nets[level]
         if self.is_initializing():
             damping(jnp.zeros((1, self.cfg.model.pyramid_channels)))
+        # Rs0/ts0: warm starts from the caller's per-frame tracked
+        # poses — without them the joint solve starts every frame at
+        # identity and 5 coarse-level iterations UNDO good tracking
+        # (measured: easy-seq ATE 0.0485 from-identity vs 0.0126
+        # tracked; root cause of the round-3/4 "window BA hurts"
+        # readings — the odometry runner now always warm-starts).
         Rs, ts, W, res_hist = solve_window_ba(
             ref_feats, tgt_fg, rays, d0, basis, intr.scale(1.0 / scale),
             self.cfg.solver, num_iters=num_iters,
+            Rs0=Rs0, ts0=ts0,
             lam=self.cfg.solver.bundle_damping_base,
             lam_depth=self.cfg.solver.bundle_damping_base,
             damping_fn=damping, frame_mask=frame_mask,

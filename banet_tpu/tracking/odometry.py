@@ -139,13 +139,14 @@ class OdometryRunner:
 
             model = tracker.model
 
-            def _refine(variables, img_key, imgs_tgt, k, pts, fmask):
+            def _refine(variables, img_key, imgs_tgt, k, pts, fmask,
+                        Rs0, ts0):
                 from banet_tpu.geometry.camera import Intrinsics
 
                 intr = Intrinsics.from_array(k)
                 out = model.apply(variables, img_key, imgs_tgt, intr,
                                   pts, num_iters=self.window_iters,
-                                  frame_mask=fmask,
+                                  frame_mask=fmask, Rs0=Rs0, ts0=ts0,
                                   method=model.window_bundle_adjust)
                 return out["Rs"], out["ts"]
 
@@ -255,9 +256,23 @@ class OdometryRunner:
                 link[:3, 3] = tk[1]
                 poses_cw[key_traj_idx] = link @ origin
                 return last_pose
+            # Warm-start the joint solve from the TRACKED per-frame
+            # poses (relative to the keyframe) — from-identity window
+            # BA undoes good tracking (banet.window_bundle_adjust
+            # docstring; measured 4x easy-seq ATE regression).
+            key_inv = np.linalg.inv(key_pose_cw)
+            Rf0, tf0 = [], []
+            for ti, _img in frames_w:
+                Tf = (poses_cw[ti] @ key_inv).astype(np.float32)
+                Rf0.append(Tf[:3, :3])
+                tf0.append(Tf[:3, 3])
+            while len(Rf0) < self.window_max_frames:
+                Rf0.append(Rf0[-1])
+                tf0.append(tf0[-1])
             Rs, ts = self._refine(self.tracker.variables,
                                   key_img.astype(np.float32), imgs, k,
-                                  key_pts, fmask)
+                                  key_pts, fmask,
+                                  np.stack(Rf0), np.stack(tf0))
             Rs = np.asarray(Rs)
             ts = np.asarray(ts)
             stats.window_refinements += 1
