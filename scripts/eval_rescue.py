@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--ckpt", default="artifacts/campaign_r6/ckpt_ema")
     ap.add_argument("--tnet-ckpt",
                     default="artifacts/campaign_r2/tnet_ckpt2")
-    ap.add_argument("--tnet-samples", type=int, default=64)
+    ap.add_argument("--tnet-samples", type=int, default=16)  # must match the ckpt's motion-block width (tnet_ckpt2 trained with 16)
     ap.add_argument("--seq-root", default="/tmp/rescue_seqs")
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--size", type=int, nargs=2, default=(256, 320))
