@@ -305,6 +305,8 @@ def solve_multi_window_ba(prob: MultiWindowProblem, intr: Intrinsics,
     origin — callers with odometry estimates should pass them).
     Returns (Rs_f, ts_f, Rs_k, ts_k, Ws (M, K), residual_history).
     """
+    from banet_tpu.ba.window_ba import _select
+
     M = prob.ref_feats.shape[0]
     F = prob.tgt_fg.shape[0]
     K = prob.basis.shape[-1]
@@ -316,13 +318,44 @@ def solve_multi_window_ba(prob: MultiWindowProblem, intr: Intrinsics,
     ts_k = ts_k0 if ts_k0 is not None else jnp.zeros((M, 3))
     Ws = jnp.zeros((M, K))
 
-    def body(carry, _):
-        Rs_f, ts_f, Rs_k, ts_k, Ws = carry
-        Rs_f, ts_f, Rs_k, ts_k, Ws, res = multi_window_ba_step(
-            prob, Rs_f, ts_f, Rs_k, ts_k, Ws, intr, lam, cfg, lam_depth,
+    def step(state, lam_scale):
+        Rf, tf, Rk, tk, W = state
+        Rf, tf, Rk, tk, W, res = multi_window_ba_step(
+            prob, Rf, tf, Rk, tk, W, intr, lam * lam_scale, cfg,
+            None if lam_depth is None else lam_depth * lam_scale,
             damping_fn)
-        return (Rs_f, ts_f, Rs_k, ts_k, Ws), res
+        return (Rf, tf, Rk, tk, W), res
 
-    (Rs_f, ts_f, Rs_k, ts_k, Ws), hist = jax.lax.scan(
-        body, (Rs_f, ts_f, Rs_k, ts_k, Ws), None, length=num_iters)
-    return Rs_f, ts_f, Rs_k, ts_k, Ws, hist
+    init_state = (Rs_f, ts_f, Rs_k, ts_k, Ws)
+    if not cfg.window_reject_bad_steps:
+        def body(carry, _):
+            state, res = step(carry, 1.0)
+            return state, res
+
+        state, hist = jax.lax.scan(body, init_state, None,
+                                   length=num_iters)
+        return (*state, hist)
+
+    # Levenberg-style accept/reject (shared rationale + structure with
+    # ba/window_ba.solve_window_ba): revert worsening iterates, raise
+    # the damping scale, and return the best EVALUATED state — the
+    # unguarded multi-keyframe solve measurably undid good tracked
+    # warm starts (VERDICT r4 item 3b).
+    def body(carry, _):
+        acc, res_acc, cur, lam_scale = carry
+        nxt, res_cur = step(cur, lam_scale)
+        worse = res_cur > res_acc
+        acc2 = _select(worse, acc, cur)
+        res_acc2 = jnp.minimum(res_acc, res_cur)
+        cur2 = _select(worse, acc, nxt)
+        lam_scale2 = jnp.where(worse, lam_scale * 4.0,
+                               jnp.maximum(lam_scale * 0.5, 1.0))
+        return (acc2, res_acc2, cur2, lam_scale2), res_cur
+
+    (acc, res_acc, cur, _), hist = jax.lax.scan(
+        body, (init_state, jnp.asarray(jnp.inf, jnp.float32),
+               init_state, jnp.asarray(1.0, jnp.float32)),
+        None, length=num_iters)
+    _, res_final = step(cur, 1.0)
+    best = _select(res_final < res_acc, cur, acc)
+    return (*best, hist)

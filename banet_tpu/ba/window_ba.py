@@ -193,12 +193,39 @@ def window_ba_step(ref_feats, tgt_feats_grads, rays, init_depth, basis,
     return Rn, tn, W + dW, blocks.residual
 
 
+def _mean_residual(res, frame_mask):
+    """Scalar residual of a state from the per-frame residuals the
+    step evaluates (already zeroed on masked frames)."""
+    if frame_mask is None:
+        return jnp.mean(res)
+    n = jnp.maximum(jnp.sum(frame_mask.astype(res.dtype)), 1.0)
+    return jnp.sum(res) / n
+
+
+def _select(pred, a, b):
+    """Per-leaf where(pred, a, b) over matching pytrees (autodiff-safe
+    — gradients flow through the selected branch only)."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
 def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
                     intr: Intrinsics, cfg: SolverConfig,
                     num_iters: int = 5, lam: float = 1e-3,
                     lam_depth: float = None, Rs0=None, ts0=None,
                     damping_fn=None, frame_mask=None, footprint=None):
-    """Iterated window BA from (optionally) identity initialization."""
+    """Iterated window BA from (optionally) identity initialization.
+
+    With ``cfg.window_reject_bad_steps`` (default): Levenberg-style
+    accept/reject — each iteration evaluates the current iterate's
+    residual against the last ACCEPTED state; a worsening iterate is
+    reverted (the revert spends the iteration) and the damping scale
+    is raised x4, an improving one is accepted and the scale relaxed
+    toward 1.  The returned state is the best EVALUATED one (a final
+    extra evaluation scores the last step), so the joint solve can
+    never hand back something worse than its warm start — the failure
+    mode that made unguarded multi-keyframe window BA score worse
+    than no window at all (VERDICT r4 item 3b).
+    """
     F = tgt_feats_grads.shape[0]
     K = basis.shape[-1]
     Rs = Rs0 if Rs0 is not None else jnp.broadcast_to(jnp.eye(3),
@@ -206,14 +233,43 @@ def solve_window_ba(ref_feats, tgt_feats_grads, rays, init_depth, basis,
     ts = ts0 if ts0 is not None else jnp.zeros((F, 3))
     W = jnp.zeros((K,), rays.dtype)
 
-    def body(carry, _):
-        Rs, ts, W = carry
-        Rs, ts, W, res = window_ba_step(
+    def step(state, lam_scale):
+        Rs, ts, W = state
+        ld = None if lam_depth is None else lam_depth * lam_scale
+        Rn, tn, Wn, res = window_ba_step(
             ref_feats, tgt_feats_grads, rays, init_depth, basis, Rs, ts,
-            W, intr, lam, cfg, lam_depth, damping_fn, frame_mask,
+            W, intr, lam * lam_scale, cfg, ld, damping_fn, frame_mask,
             footprint)
-        return (Rs, ts, W), res
+        return (Rn, tn, Wn), _mean_residual(res, frame_mask)
 
-    (Rs, ts, W), res_hist = jax.lax.scan(body, (Rs, ts, W), None,
-                                         length=num_iters)
-    return Rs, ts, W, res_hist
+    if not cfg.window_reject_bad_steps:
+        def body(carry, _):
+            state, res = step(carry, 1.0)
+            return state, res
+
+        state, res_hist = jax.lax.scan(body, (Rs, ts, W), None,
+                                       length=num_iters)
+        return state[0], state[1], state[2], res_hist
+
+    def body(carry, _):
+        acc, res_acc, cur, lam_scale = carry
+        nxt, res_cur = step(cur, lam_scale)
+        worse = res_cur > res_acc
+        acc2 = _select(worse, acc, cur)
+        res_acc2 = jnp.minimum(res_acc, res_cur)
+        cur2 = _select(worse, acc, nxt)
+        lam_scale2 = jnp.where(worse, lam_scale * 4.0,
+                               jnp.maximum(lam_scale * 0.5, 1.0))
+        return (acc2, res_acc2, cur2, lam_scale2), res_cur
+
+    init_state = (Rs, ts, W)
+    (acc, res_acc, cur, _), res_hist = jax.lax.scan(
+        body, (init_state, jnp.asarray(jnp.inf, rays.dtype),
+               init_state, jnp.asarray(1.0, rays.dtype)),
+        None, length=num_iters)
+    # The final iterate was produced but never scored: one extra
+    # evaluation (~1/num_iters extra cost) decides between it and the
+    # best accepted state.
+    _, res_final = step(cur, 1.0)
+    best = _select(res_final < res_acc, cur, acc)
+    return best[0], best[1], best[2], res_hist

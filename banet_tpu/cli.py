@@ -23,6 +23,30 @@ import os
 import sys
 
 
+def make_retarget_fn(k_src, k_new, size):
+    """Per-frame camera-retargeting callable for the odometry loop:
+    maps (rgb, depth) captured with ``k_src`` onto a virtual camera
+    ``k_new`` at ``size`` (data/retarget.adjust_intrinsics — deeptam
+    view_utils.py:70-143 semantics).  A factory so both intrinsics are
+    bound BY VALUE at construction: the CLI rebinds its intrinsics
+    variable right after building this, and an inline closure once
+    late-bound it to src == dst, silently skipping the rescale
+    (ADVICE r4 high; regression: tests/test_retarget.py
+    test_make_retarget_fn_binds_source_intrinsics_by_value)."""
+    import numpy as _np
+
+    from banet_tpu.data.retarget import adjust_intrinsics
+
+    k_src = _np.array(k_src, _np.float32, copy=True)
+    k_new = _np.array(k_new, _np.float32, copy=True)
+    Hn, Wn = size
+
+    def retarget(rgb, depth):
+        return adjust_intrinsics(rgb, depth, k_src, k_new, (Hn, Wn))
+
+    return retarget
+
+
 def _apply_ckpt_model_config(cfg, checkpoint: str | None):
     """Apply the model knobs recorded next to a campaign checkpoint
     (<ckpt_dir>/../model_config.json, written by
@@ -81,8 +105,7 @@ def _cmd_odometry(args) -> int:
         # sequence at the checkpoint's operating resolution.
         import numpy as _np
 
-        from banet_tpu.data.retarget import (adjust_intrinsics,
-                                             default_retarget_intrinsics)
+        from banet_tpu.data.retarget import default_retarget_intrinsics
 
         Hn, Wn = args.retarget
         if getattr(args, "retarget_intrinsics", None):
@@ -90,11 +113,11 @@ def _cmd_odometry(args) -> int:
         else:
             k_new = default_retarget_intrinsics(seq_intr, (H, W),
                                                 (Hn, Wn))
-
-        def retarget(rgb, depth):  # noqa: F811
-            return adjust_intrinsics(rgb, depth, seq_intr, k_new,
-                                     (Hn, Wn))
-
+        # Factory binds the SOURCE intrinsics eagerly: `seq_intr` is
+        # rebound to k_new below, and an inline late-binding closure
+        # here once silently called adjust_intrinsics with src == dst
+        # (sx=sy=1 — no rescale; ADVICE r4 high).
+        retarget = make_retarget_fn(seq_intr, k_new, (Hn, Wn))  # noqa: F811
         seq_intr = k_new
         H, W = Hn, Wn
     cfg = default_config()
@@ -208,6 +231,20 @@ def _cmd_odometry_batched(args) -> int:
     from banet_tpu.eval.trajectory import save_tum_trajectory
     from banet_tpu.tracking import TwoViewTracker
     from banet_tpu.tracking.batch_odometry import BatchedOdometryRunner
+
+    # The batched runner supports none of the per-sequence extras; fail
+    # loudly instead of silently changing semantics (ADVICE r4).
+    unsupported = [
+        ("--retarget", getattr(args, "retarget", None)),
+        ("--tnet-checkpoint", getattr(args, "tnet_checkpoint", None)),
+        ("--window-ba", getattr(args, "window_ba", False)),
+    ]
+    bad = [name for name, val in unsupported if val]
+    if bad:
+        print("error: batched multi-sequence odometry does not support "
+              + ", ".join(bad) + " (run sequences one at a time)",
+              file=sys.stderr)
+        return 2
 
     seqs = [_load_sequence(p, args.format) for p in args.sequence]
     for p, s in zip(args.sequence, seqs):

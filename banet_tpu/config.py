@@ -48,6 +48,17 @@ class SolverConfig:
     # training recipe (artifacts/README.md campaign_r4) trains through
     # unguarded steps.
     bundle_reject_bad_steps: bool = True
+    # Levenberg-style accept/reject in the WINDOW solvers (round-5,
+    # VERDICT r4 item 3b): evaluate each iteration's residual against
+    # the last accepted state; a worsening iterate is reverted and the
+    # damping scale raised x4 (one evaluation per iteration — the
+    # revert spends the iteration, like the camera solver's step
+    # rejection), and the best evaluated state is returned.  Without
+    # this, 5 applied-no-matter-what coarse-level GN steps could UNDO
+    # good tracked warm starts — measured as multi-keyframe window BA
+    # scoring WORSE than no window at all (campaign_r6
+    # window_ba_summary.json).
+    window_reject_bad_steps: bool = True
     # Base multiplier on the learned damping for the joint pose+depth
     # solve (reference bundlenet.py:393 uses 1000.0).
     bundle_damping_base: float = 1000.0
@@ -240,6 +251,19 @@ class TrainConfig:
     loss_translation_weight: float = 1.0
     loss_flow_weight: float = 1.0
     loss_depth_weight: float = 1.0
+    # Window-BA training term (round-5: the window solver's learned
+    # damping previously only ever saw the two-view bundle
+    # distribution; training through window_bundle_adjust on short
+    # synthetic windows with noisy warm starts teaches the joint solve
+    # to IMPROVE tracked poses — its deployment condition).  0 frames
+    # = off (the default two-view curriculum).  Noise magnitudes are
+    # the warm-start perturbation applied to the GT poses, calibrated
+    # to tracked-pose error at the easy/hard eval operating points.
+    window_train_frames: int = 0
+    loss_window_weight: float = 0.5
+    window_init_rot_noise: float = 0.01
+    window_init_trans_noise: float = 0.02
+    window_train_iters: int = 5
     seed: int = 0
 
 
@@ -292,8 +316,20 @@ def inference_config(cfg: Config,
       held-out trajectory: ATE 0.0117 f32 vs 0.0114 bf16 — within
       run-to-run noise; artifacts/README.md round-3 table).  The CLI
       ``--feature-dtype float32`` restores exact f32 maps.
+    - folded pyramid aggregation (``ModelConfig.pyramid_fold_agg``,
+      models/pyramid._FoldedAgg): same function, coarse-resolution
+      up-path contraction, no full-res concat map in HBM; checkpoint-
+      compatible by parameter naming (parity: tests/test_pyramid_fold
+      .py).  On-chip A/B at the shipped B=1 256x320 operating point:
+      0.754 vs 0.925 ms per feature pass symmetric-pad, 18% faster
+      (artifacts/PROFILE_r05_feature_ab.jsonl).  The same A/B REFUTED
+      the round-4 ``symmetric_fast`` conv (1.284 ms — slower than the
+      plain symmetric pad it was built to beat) and the B=2 cold-pair
+      batching (0.958 ms/image vs 0.925 serial), so neither is
+      flipped here.
     """
-    model_over = dict(solver_feature_dtype="bfloat16")
+    model_over = dict(solver_feature_dtype="bfloat16",
+                      pyramid_fold_agg=True)
     if image_size is None or (image_size[0] % 2 == 0
                               and image_size[1] % 2 == 0):
         model_over["stem_s2d"] = True

@@ -87,6 +87,7 @@ class TwoViewTracker:
         self._bundle = _bundle
         self._kf = None  # (ref_sampled, k, points, depths)
         self._last_tgt_feats = None  # device pyramid of last track_frame
+        self._last_tgt_fp = None     # content fingerprint of that frame
 
     @classmethod
     def initialize(cls, cfg: Optional[Config] = None, seed: int = 0,
@@ -220,6 +221,11 @@ class TwoViewTracker:
         d = _batched(d, 2)
         k = np.asarray(intrinsics, np.float32).reshape(-1, 4)
         if reuse_last_target and self._last_tgt_feats is not None:
+            fp = _fingerprint(image)
+            assert (fp == self._last_tgt_fp if fp else
+                    image is self._last_tgt_img), \
+                "reuse_last_target=True but `image` is not the frame " \
+                "the last track_frame call tracked"
             ref_sampled = self._sample_feats(
                 self.variables, self._last_tgt_feats, pts)
         else:
@@ -249,12 +255,14 @@ class TwoViewTracker:
         # the SAME frame (hybrid-rescue re-init) skips the encoder;
         # arrays stay on device.
         if image_tgt is getattr(self, "_last_tgt_img", None) \
-                and self._last_tgt_feats is not None:
+                and self._last_tgt_feats is not None \
+                and _fingerprint(image_tgt) == self._last_tgt_fp:
             feats_tgt = self._last_tgt_feats
         else:
             feats_tgt = self._features(self.variables, img2)
             self._last_tgt_feats = feats_tgt
             self._last_tgt_img = image_tgt
+            self._last_tgt_fp = _fingerprint(image_tgt)
         R, t, keep, res = self._track_cached(self.variables, ref_sampled,
                                              feats_tgt, img2, k, pts, d,
                                              initR, initT)
@@ -269,3 +277,15 @@ def _batched(x, ndim: int):
     while x.ndim < ndim:
         x = x[None]
     return x
+
+
+def _fingerprint(image):
+    """Cheap content check backing the identity-keyed target cache
+    (ADVICE r4): jax arrays are immutable, so identity alone is enough;
+    a host numpy array can be mutated in place between track_frame
+    calls, so sample ~64 strided elements to catch stale features."""
+    if not isinstance(image, np.ndarray):
+        return ()
+    flat = image.reshape(-1)
+    step = max(1, flat.shape[0] // 64)
+    return flat[::step].tobytes()

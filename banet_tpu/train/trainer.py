@@ -94,6 +94,7 @@ def make_train_step(model: BANet, cfg: Config
     valid_mask (B,H,W).
     """
     tx = make_optimizer(cfg)
+    Fw = cfg.train.window_train_frames
 
     def loss_fn(params, batch_stats, batch):
         intr = Intrinsics.from_array(batch["intr_array"])
@@ -108,6 +109,36 @@ def make_train_step(model: BANet, cfg: Config
             mutable=["batch_stats"])
         terms = L.total_loss(outputs, batch, intr, cfg.train,
                              cfg.geometry.normalized_rays)
+        if Fw > 0:
+            # Window-BA term: run the joint multi-frame solve from the
+            # NOISY warm starts the batch provides (tracked-pose error
+            # model) and supervise the refined poses toward GT — the
+            # solver must learn to improve a warm start, its
+            # deployment condition.  Batch stats run in inference mode
+            # (use_running_average) so the pair pass stays the single
+            # source of batch-stats updates; intended for finetuning a
+            # trained checkpoint, where those stats are settled.
+            win_intr = Intrinsics.from_array(batch["win_intr_array"])
+            win_out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["win_image_key"], batch["win_images_tgt"],
+                win_intr, batch["win_points"],
+                num_iters=cfg.train.window_train_iters,
+                Rs0=batch["win_Rs0"], ts0=batch["win_ts0"],
+                method=model.window_bundle_adjust)
+            wterms = L.window_loss(win_out, batch["win_Rs_gt"],
+                                   batch["win_ts_gt"],
+                                   batch.get("win_depth_gt"))
+            terms.update(wterms)
+            wtot = (cfg.train.loss_rotation_weight *
+                    wterms["win_rotation"] +
+                    cfg.train.loss_translation_weight *
+                    wterms["win_translation"])
+            if "win_depth" in wterms:
+                wtot += (cfg.train.loss_depth_weight *
+                         wterms["win_depth"])
+            terms["total"] = (terms["total"] +
+                              cfg.train.loss_window_weight * wtot)
         return terms["total"], (terms, updates["batch_stats"])
 
     def train_step(state: TrainState, batch: Dict):
@@ -119,6 +150,13 @@ def make_train_step(model: BANet, cfg: Config
                                   batch_stats=new_stats, opt_state=new_opt)
         metrics = {k: v for k, v in terms.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
+        # apply_if_finite's consecutive-skip counter: >0 means this
+        # step's update was SKIPPED on a non-finite gradient.  Loops
+        # must watch it — campaign_r7's second attempt silently skipped
+        # every step for hours because nothing did (see
+        # artifacts/campaign_r7/README_NANPOSTMORTEM.md).
+        if hasattr(new_opt, "notfinite_count"):
+            metrics["notfinite_count"] = new_opt.notfinite_count
         return new_state, metrics
 
     return train_step
@@ -189,6 +227,43 @@ def crop_augmented_batch(key, batch: int = 2,
         depth_gt=depth_gt,
         valid_mask=jnp.ones_like(depth_gt),
     )
+
+
+def window_batch_extras(key, num_frames: int = 3, height: int = 64,
+                        width: int = 96, num_points: int = 64,
+                        step_rot: float = 0.01, step_trans: float = 0.02,
+                        rot_noise: float = 0.01,
+                        trans_noise: float = 0.02,
+                        domain: str = None) -> Dict:
+    """The ``win_*`` batch keys consumed by the window-BA training term
+    (one window per step): a keyframe + F-frame plane-scene window with
+    GT poses, plus NOISY warm starts ``win_Rs0``/``win_ts0`` modelling
+    tracked-pose error — the distribution window BA must improve on at
+    deployment."""
+    from banet_tpu.data.synthetic import make_plane_scene_window
+    from banet_tpu.geometry.se3 import exp_so3
+
+    kw, kp, kr, kt = jax.random.split(key, 4)
+    win = make_plane_scene_window(kw, num_frames=num_frames,
+                                  height=height, width=width,
+                                  step_rot=step_rot,
+                                  step_trans=step_trans, domain=domain)
+    pts = jnp.stack([
+        jax.random.uniform(kp, (1, num_points), minval=6.0,
+                           maxval=width - 6.0),
+        jax.random.uniform(jax.random.fold_in(kp, 1), (1, num_points),
+                           minval=6.0, maxval=height - 6.0)], axis=-1)
+    dR = exp_so3(rot_noise * jax.random.normal(kr, (num_frames, 3)))
+    Rs0 = jnp.einsum("fij,fjk->fik", dR, win["Rs_true"])
+    ts0 = win["ts_true"] + trans_noise * jax.random.normal(
+        kt, (num_frames, 3))
+    return dict(win_image_key=win["image_key"],
+                win_images_tgt=win["images_tgt"],
+                win_depth_gt=win["depth_key"],
+                win_intr_array=win["intr"].as_array(),
+                win_points=pts,
+                win_Rs_gt=win["Rs_true"], win_ts_gt=win["ts_true"],
+                win_Rs0=Rs0, win_ts0=ts0)
 
 
 def synthetic_batch(key, batch: int = 2, height: int = 64, width: int = 96,

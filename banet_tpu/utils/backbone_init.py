@@ -66,6 +66,92 @@ def load_backbone_npy(path: str) -> Dict[str, np.ndarray]:
     return {str(k): np.asarray(v) for k, v in d.items()}
 
 
+_BN_FIELD = {"weight": "scale", "bias": "bias",
+             "running_mean": "mean", "running_var": "var"}
+
+
+def torch_drn_key_to_flax(key: str):
+    """Map one public-torch-DRN ``state_dict`` key (fyu/drn naming) to
+    our flat ``.npy`` dict key, or None to drop it.
+
+    This is the executable form of the docs/REAL_DATA.md key table
+    (reference enc.py:241-251 loads the same weights into TF by name).
+    Covered kinds — DRN-D has no others:
+      layer0.{0,1}.*                     stem conv + bn
+      layer{L}.{3k,3k+1}.*               plain conv levels (Sequential
+                                         indices: Conv 3k, BN 3k+1,
+                                         ReLU 3k+2 — ReLU paramless)
+      layer{L}.{i}.conv{N}/bn{N}.*       BasicBlock convs/bns
+      layer{L}.{i}.downsample.{0,1}.*    projection shortcut
+      fc.* / num_batches_tracked         dropped
+    BN fields: weight->scale, bias->bias, running_mean->stats:mean,
+    running_var->stats:var.
+    """
+    import re
+
+    parts = key.split(".")
+    field = parts[-1]
+    if field == "num_batches_tracked" or parts[0] == "fc":
+        return None
+
+    def bn(prefix: str):
+        f = _BN_FIELD.get(field)
+        if f is None:
+            return None
+        k = f"{prefix}/BatchNorm_0/{f}"
+        return STATS_PREFIX + k if field.startswith("running_") else k
+
+    if parts[0] == "layer0":
+        if parts[1] == "0" and field == "weight":
+            return "layer0/Conv_0/kernel"
+        if parts[1] == "1":
+            return bn("layer0")
+        return None
+    m = re.fullmatch(r"layer(\d+)", parts[0])
+    if not m:
+        return None
+    L = m.group(1)
+    # Plain conv level: layer{L}.{idx}.{field} with a numeric second
+    # part — Sequential [Conv, BN, ReLU] repeated, so Conv at 3k,
+    # BN at 3k+1.
+    if len(parts) == 3 and parts[1].isdigit():
+        idx = int(parts[1])
+        k3, rem = divmod(idx, 3)
+        if rem == 0 and field == "weight":
+            return f"layer{L}_{k3}/Conv_0/kernel"
+        if rem == 1:
+            return bn(f"layer{L}_{k3}")
+        return None
+    # BasicBlock: layer{L}.{i}.conv{N}/bn{N}/downsample.{0,1}
+    i = parts[1]
+    sub = parts[2]
+    if sub.startswith("conv") and field == "weight":
+        return f"layer{L}_{i}/conv_bn{sub[4:]}/Conv_0/kernel"
+    if sub.startswith("bn"):
+        return bn(f"layer{L}_{i}/conv_bn{sub[2:]}")
+    if sub == "downsample":
+        if parts[3] == "0" and field == "weight":
+            return f"layer{L}_{i}/downsample/Conv_0/kernel"
+        if parts[3] == "1":
+            return bn(f"layer{L}_{i}/downsample")
+    return None
+
+
+def convert_torch_drn_state_dict(sd: Dict[str, Any]
+                                 ) -> Dict[str, np.ndarray]:
+    """Convert a whole torch DRN ``state_dict``-like mapping (keys as
+    in the public fyu/drn checkpoints; values anything numpy-able —
+    torch tensors work via ``np.asarray``) into the flat dict
+    ``seed_backbone`` consumes.  Conv kernels may remain OIHW
+    (seed_backbone transposes on shape match)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        fk = torch_drn_key_to_flax(str(k))
+        if fk is not None:
+            out[fk] = np.asarray(v)
+    return out
+
+
 def _match(cand: np.ndarray, tmpl_shape: Tuple[int, ...]):
     """Return the candidate reshaped to the template layout, or None.
 

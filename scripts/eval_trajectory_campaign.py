@@ -93,11 +93,12 @@ def main():
     ap.add_argument("--window-ba", action="store_true")
     ap.add_argument("--window-ba-mode", choices=["single", "multi"],
                     default="single")
-    ap.add_argument("--domain", default=None, choices=["A", "B"],
+    ap.add_argument("--domain", default=None, choices=["A", "B", "P"],
                     help="render the held-out sequence from this "
                          "nuisance domain (data/synthetic.DOMAINS) — "
                          "'B' is the held-out-statistics domain for "
-                         "generalization evals")
+                         "generalization evals, 'P' the photographic-"
+                         "statistics (dead-leaves) domain")
     ap.add_argument("--iters", type=int, nargs="+", default=None,
                     help="per-level GN iteration caps for odometry/pairs")
     ap.add_argument("--tnet-ckpt", default=None,

@@ -92,6 +92,15 @@ def main():
         if rc == 0:
             print("[supervisor] run completed", flush=True)
             return 0
+        if rc in (3, 4):
+            # 3 = NaN tripwire (consecutive skipped updates), 4 =
+            # corrupt resume checkpoint.  Resuming would deterministic-
+            # ally reproduce the same failure (data keys are step-
+            # indexed) — stop and demand a human look instead of
+            # zombie-looping (campaign_r7 postmortem).
+            print(f"[supervisor] child exited with FATAL code {rc}; "
+                  "not restarting", flush=True)
+            return 2
         restarts += 1
         if restarts > args.max_restarts:
             print("[supervisor] too many restarts, giving up",

@@ -81,6 +81,20 @@ def main():
                          "curriculum at this step (a relay hang can "
                          "strand a run mid-campaign; optimizer moments "
                          "restart fresh, a brief Adam transient)")
+    ap.add_argument("--window-train", type=int, default=0, metavar="F",
+                    help="add the window-BA training term with "
+                         "F-frame windows (TrainConfig."
+                         "window_train_frames): trains THROUGH "
+                         "window_bundle_adjust from noisy warm starts "
+                         "so the joint solve learns to improve tracked "
+                         "poses (VERDICT r4 item 3c).  Intended for "
+                         "finetuning a trained checkpoint (batch stats "
+                         "must be settled)")
+    ap.add_argument("--nan-tripwire", type=int, default=200,
+                    help="abort (exit 3) if apply_if_finite has "
+                         "skipped this many CONSECUTIVE updates — a "
+                         "skipping-forever run burns TPU hours while "
+                         "learning nothing (campaign_r7 postmortem)")
     args = ap.parse_args()
 
     import dataclasses
@@ -90,6 +104,13 @@ def main():
     from banet_tpu.train.trainer import (create_train_state,
                                          make_train_step)
     from banet_tpu.utils.checkpoint import save_checkpoint
+
+    def tree_all_finite(tree) -> bool:
+        leaves = [jnp.all(jnp.isfinite(x)) for x in
+                  jax.tree_util.tree_leaves(tree)
+                  if hasattr(x, "dtype") and
+                  jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)]
+        return bool(jax.device_get(jnp.all(jnp.stack(leaves))))
 
     H, W = args.image_size
     cfg = default_config()
@@ -105,7 +126,8 @@ def main():
             total_steps=(args.steps if exact_resume or
                          not args.resume_from_step
                          else args.steps - args.resume_from_step),
-            lr_schedule="cosine"))
+            lr_schedule="cosine",
+            window_train_frames=args.window_train))
     overrides = {}
     if args.pad_mode:
         overrides["conv_pad_mode"] = args.pad_mode
@@ -175,6 +197,16 @@ def main():
             ema0 = got_ema["params"]
             print(json.dumps({"resumed_from": args.resume_from_step,
                               "exact": False}), flush=True)
+        # A corrupt (non-finite) checkpoint can NEVER recover — every
+        # gradient through NaN params is NaN, every update is skipped,
+        # and the run becomes a zombie (campaign_r7 attempt 2 resumed
+        # from an all-NaN step-8500 checkpoint and burned hours doing
+        # exactly that).  Refuse loudly instead.
+        if not tree_all_finite(state.params):
+            print(json.dumps({"fatal": "resume checkpoint has "
+                              "non-finite params; refusing to train "
+                              "from it", "out": args.out}), flush=True)
+            return 4
     step_fn = jax.jit(make_train_step(model, cfg))
 
     # Crop-augment geometry (reference bundlenet.py:286-302 semantics;
@@ -190,6 +222,21 @@ def main():
         from banet_tpu.train.trainer import depth_at_points
 
         kp = jax.random.fold_in(key, 77)
+
+        def with_window(base):
+            if not args.window_train:
+                return base
+            from banet_tpu.train.trainer import window_batch_extras
+
+            base.update(window_batch_extras(
+                jax.random.fold_in(key, 99),
+                num_frames=args.window_train, height=H, width=W,
+                num_points=args.num_points,
+                step_rot=rot_mag, step_trans=trans_mag,
+                rot_noise=cfg.train.window_init_rot_noise,
+                trans_noise=cfg.train.window_init_trans_noise,
+                domain=args.domain))
+            return base
         if not args.crop_augment:
             pair = make_plane_scene_pair(
                 key, batch=args.batch, height=H, width=W,
@@ -202,13 +249,13 @@ def main():
                 jax.random.uniform(jax.random.fold_in(kp, 1),
                                    (args.batch, args.num_points),
                                    minval=6.0, maxval=H - 6.0)], axis=-1)
-            return dict(
+            return with_window(dict(
                 image1=pair["image1"], image2=pair["image2"],
                 intr_array=pair["intr"].as_array(), points=pts,
                 point_depths=depth_at_points(pair["depth"], pts),
                 R_gt=pair["R_true"], t_gt=pair["t_true"],
                 depth_gt=pair["depth"],
-                valid_mask=(pair["depth"] > 0).astype(jnp.float32))
+                valid_mask=(pair["depth"] > 0).astype(jnp.float32)))
 
         from banet_tpu.geometry.camera import (crop_adjusted_intrinsics,
                                                crop_remap)
@@ -235,7 +282,7 @@ def main():
         depth_gt = crop_resize(pair["depth"])
         intr = crop_adjusted_intrinsics(pair["intr"], (Hs, Ws), (H, W),
                                         b)
-        return dict(
+        return with_window(dict(
             image1=crop_resize(pair["image1"]),
             image2=crop_resize(pair["image2"]),
             intr_array=intr.as_array(),
@@ -245,7 +292,7 @@ def main():
             point_depths=depth_at_points(pair["depth"], pts_src),
             R_gt=pair["R_true"], t_gt=pair["t_true"],
             depth_gt=depth_gt,
-            valid_mask=(depth_gt > 0).astype(jnp.float32))
+            valid_mask=(depth_gt > 0).astype(jnp.float32)))
 
     @jax.jit
     def ema_update(ema, params, decay):
@@ -277,8 +324,27 @@ def main():
                 logf.write(json.dumps(rec) + "\n")
                 logf.flush()
                 print(json.dumps(rec), flush=True)
+                # Tripwire: notfinite_count is apply_if_finite's
+                # CONSECUTIVE-skip counter (resets on any finite step);
+                # a large value means training has been a no-op for
+                # that many steps and will stay one.  Abort loudly so
+                # the supervisor does NOT blind-resume.
+                if rec.get("notfinite_count", 0) >= args.nan_tripwire:
+                    print(json.dumps(
+                        {"fatal": "nan tripwire: "
+                         f"{int(rec['notfinite_count'])} consecutive "
+                         "skipped updates", "step": i}), flush=True)
+                    return 3
             if args.save_every and (i + 1) % args.save_every == 0 \
                     and i != args.steps - 1:
+                # Never overwrite a good checkpoint with a poisoned
+                # one: a single all-NaN save is how campaign_r7 lost
+                # its run (resume found only the corpse).
+                if not tree_all_finite(state.params):
+                    print(json.dumps(
+                        {"fatal": "refusing to save non-finite params",
+                         "step": i}), flush=True)
+                    return 3
                 save_checkpoint(
                     os.path.join(args.out, "ckpt"),
                     {"params": jax.device_get(state.params),
@@ -306,4 +372,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

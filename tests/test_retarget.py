@@ -73,6 +73,44 @@ def test_default_retarget_intrinsics_plain_resize():
     np.testing.assert_allclose(k, [200.0, 200.0, 80.0, 60.0])
 
 
+def test_make_retarget_fn_binds_source_intrinsics_by_value():
+    """Regression for ADVICE r4 (high): the CLI builds its retarget
+    callable and then REBINDS the intrinsics variable to the target
+    calibration; the original inline closure late-bound it and so
+    resampled with src == dst (sx=sy=1 — frames never rescaled while
+    the tracker was handed the new intrinsics).  The factory must bind
+    by value: mutate/rebind everything after construction and the
+    output must still match a direct render at the target
+    intrinsics."""
+    from banet_tpu.cli import make_retarget_fn
+
+    key = jax.random.PRNGKey(1)
+    H, W = 64, 80
+    k_src = np.asarray([60.0, 60.0, W / 2.0, H / 2.0], np.float32)
+    rgb_src, d_src = _render(key, k_src, H, W)
+    Hn, Wn = 48, 64
+    k_new = np.asarray([90.0, 90.0, Wn / 2.0 + 3.0, Hn / 2.0 - 2.0],
+                       np.float32)
+
+    fn = make_retarget_fn(k_src, k_new, (Hn, Wn))
+    # The CLI's exact hazard pattern: the caller's arrays are rebound /
+    # mutated after the factory returns.
+    k_src[:] = k_new            # in-place mutation of the source array
+    k_src = k_new               # and rebinding of the name
+    rgb_got, d_got = fn(rgb_src, d_src)
+
+    rgb_want, d_want = _render(key, k_new, Hn, Wn)
+    a = rgb_got[4:-4, 4:-4]
+    b = np.clip(rgb_want[4:-4, 4:-4], 0, 255)
+    # With the late-binding bug this is a no-scale center crop: mean
+    # abs error vs the direct render measures ~40 gray levels; correct
+    # rescaling lands well under 6 (same bound as
+    # test_retarget_matches_direct_render).
+    assert np.abs(a - b).mean() < 6.0, np.abs(a - b).mean()
+    dd = np.abs(d_got[4:-4, 4:-4] - d_want[4:-4, 4:-4])
+    assert np.median(dd) < 0.02, np.median(dd)
+
+
 @pytest.mark.slow
 def test_cli_odometry_retarget(tmp_path):
     import json

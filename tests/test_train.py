@@ -90,6 +90,41 @@ class TestTrainStep:
             assert float(metrics["grad_norm"]) > 0.0
         assert int(state.step) == 2
 
+    def test_window_train_step(self):
+        """Training THROUGH window_bundle_adjust (round-5): the step
+        must run, emit finite window terms, and actually move the
+        level-2 damping-net parameters (the component the window term
+        exists to fit)."""
+        import dataclasses
+
+        from banet_tpu.train.trainer import window_batch_extras
+
+        cfg = Config(
+            model=ModelConfig(backbone="drn22", compute_dtype="float32"),
+            solver=SolverConfig(level_iters=(1, 1, 1, 1)),
+        )
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, window_train_frames=2, window_train_iters=2,
+            lr_schedule="constant"))
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                          image_size=(64, 96),
+                                          num_points=32)
+        step = jax.jit(make_train_step(model, cfg))
+        batch = synthetic_batch(jax.random.PRNGKey(0), batch=1,
+                                height=64, width=96, num_points=32)
+        batch.update(window_batch_extras(jax.random.PRNGKey(1),
+                                         num_frames=2, height=64,
+                                         width=96, num_points=32))
+        damp_before = jax.tree_util.tree_leaves(
+            state.params["damping_2"])[0].copy()
+        state, metrics = step(state, batch)
+        for k in ("win_rotation", "win_translation", "win_depth"):
+            assert k in metrics and np.isfinite(float(metrics[k])), k
+        assert np.isfinite(float(metrics["total"]))
+        damp_after = jax.tree_util.tree_leaves(
+            state.params["damping_2"])[0]
+        assert float(jnp.abs(damp_after - damp_before).max()) > 0.0
+
 
 class TestCropPipeline:
     def test_crop_geometry_is_exact(self):
@@ -216,3 +251,30 @@ def test_nonfinite_grad_step_is_skipped():
     upd3, state = tx.update(good, state, p2)
     p3 = optax.apply_updates(p2, upd3)
     assert float(jnp.abs(p3["w"] - p2["w"]).sum()) > 0
+
+
+def test_notfinite_count_tripwire_signal():
+    """The consecutive-skip counter must be observable from outside the
+    jit (the campaign tripwire aborts on it — a run that skips every
+    update otherwise LOOKS alive: finite losses, advancing steps;
+    campaign_r7 attempt 2 did exactly that for hours)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from banet_tpu.config import default_config
+    from banet_tpu.train.trainer import make_optimizer
+
+    cfg = default_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, lr_schedule="constant"))
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    bad = {"w": jnp.array([0.1, jnp.nan, 0.1])}
+    for want in (1, 2, 3):
+        _, state = tx.update(bad, state, params)
+        assert int(state.notfinite_count) == want
+    good = {"w": jnp.full((3,), 0.1)}
+    _, state = tx.update(good, state, params)
+    assert int(state.notfinite_count) == 0

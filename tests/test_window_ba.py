@@ -236,3 +236,48 @@ def test_sharded_learned_damping_matches():
         1e-2, CFG, 10.0, damping_fn)
     np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(W1), np.asarray(W2), atol=1e-4)
+
+
+def test_window_reject_never_worsens_warm_start():
+    """The Levenberg accept/reject contract (round-5, VERDICT r4 item
+    3b): whatever the damping does, the returned state's residual must
+    not exceed the warm start's — unguarded aggressive GN (tiny lam,
+    large motion) can overshoot and hand back something WORSE than its
+    initialization, which is exactly how multi-keyframe window BA lost
+    to no-window in round 4."""
+    import dataclasses
+
+    prob = planar_window_problem(jax.random.PRNGKey(9), F=4,
+                                 motion=0.08)
+
+    def residual_at(Rs, ts, W):
+        _, _, _, res = window_ba_step(
+            prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+            prob["init_depth"], prob["basis"], Rs, ts, W,
+            prob["intr"], 1e-3, CFG, 1.0)
+        return float(jnp.mean(res))
+
+    F = 4
+    Rs0 = jnp.broadcast_to(jnp.eye(3), (F, 3, 3))
+    ts0 = jnp.zeros((F, 3))
+    res0 = residual_at(Rs0, ts0, jnp.zeros(prob["basis"].shape[-1]))
+
+    # Aggressive solve: near-zero damping invites overshoot.
+    Rs, ts, W, _ = solve_window_ba(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], CFG,
+        num_iters=6, lam=1e-7, lam_depth=1e-7)
+    res_rej = residual_at(Rs, ts, W)
+    assert res_rej <= res0 * (1.0 + 1e-5), (res_rej, res0)
+
+    # And the guard is live: with rejection disabled the same solve is
+    # allowed to end worse than it started (if it doesn't on this
+    # fixture, the assertion above still pinned the contract).
+    cfg_off = dataclasses.replace(CFG, window_reject_bad_steps=False)
+    Rs_u, ts_u, W_u, _ = solve_window_ba(
+        prob["ref_feats"], prob["tgt_fgs"], prob["rays"],
+        prob["init_depth"], prob["basis"], prob["intr"], cfg_off,
+        num_iters=6, lam=1e-7, lam_depth=1e-7)
+    res_ung = residual_at(Rs_u, ts_u, W_u)
+    # Rejection never does worse than the unguarded solve.
+    assert res_rej <= res_ung * (1.0 + 1e-5), (res_rej, res_ung)
