@@ -73,12 +73,16 @@ N = int(os.environ.get("BANET_BENCH_N", 1024))
 REPEATS = 4
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "artifacts")
-# Latest shipped campaign first (r6 = symmetric pad, f32-trained — the
-# round-4 unified fast+accurate config; bf16 solver maps + s2d stem
-# come from inference_config; checkpoint selection history is in
-# artifacts/README.md), older as fallback.
+# Latest shipped campaign first (r9 = round-5 window-BA finetune of
+# r8; r8 = round-5 zero-pad + domain-A cure — pad mode measured
+# accuracy-neutral, artifacts/campaign_r6/ATE_POSTMORTEM.md, and
+# fastest on chip, PROFILE_r05_feature_ab; bf16 solver maps + s2d stem
+# + folded pyramid agg come from inference_config; checkpoint
+# selection history is in artifacts/README.md), older as fallback.
 TRAINED_CKPT = next(
-    (p for p in (os.path.join(_ART, "campaign_r6", "ckpt_ema"),
+    (p for p in (os.path.join(_ART, "campaign_r9", "ckpt_ema"),
+                 os.path.join(_ART, "campaign_r8", "ckpt_ema"),
+                 os.path.join(_ART, "campaign_r6", "ckpt_ema"),
                  os.path.join(_ART, "campaign_r5c", "ckpt_ema"),
                  os.path.join(_ART, "campaign_r5", "ckpt_ema"),
                  os.path.join(_ART, "campaign_r4", "ckpt_ema"))
@@ -166,6 +170,14 @@ def main():
     # Exact-parity inference layout knobs (space-to-depth stem):
     # checkpoint-compatible, same function, faster on TPU.
     cfg = inference_config(cfg, image_size=(H, W))
+    if os.environ.get("BANET_BENCH_FUSED_TAIL"):
+        # A/B knob for the fused Pallas pose-solve tail
+        # (SolverConfig.fused_tail, ops/pallas_gn_tail.py): the
+        # microbench says its marginal iteration cost is far below the
+        # XLA scan path (PROFILE_r05_tail_multi); this measures it
+        # end to end on the same harness.
+        cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
+            cfg.solver, fused_tail=True))
     model = BANet(cfg)
     cfg_exit = dataclasses.replace(
         cfg, solver=dataclasses.replace(cfg.solver,

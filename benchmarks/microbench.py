@@ -744,8 +744,110 @@ def bench_feature_ab():
             "per_image_ms": round(per * 1e3 / B, 4)}))
 
 
+def bench_serving_sweep():
+    """Batched-serving cost decomposition (VERDICT r4 item 7): where
+    does the ~2 ms/frame batch-marginal go at the serving batch sizes?
+    Per-IMAGE feature-pyramid cost and per-FRAME solve cost (target
+    pyramid precomputed via pose_track_cached's feats_tgt arg), each
+    as a batch slope at B in {1, 4, 8, 12} on the shipped inference
+    config.  The serial B=1 frame is latency-bound (PROFILE_r03);
+    batching should collapse both components toward their roofline —
+    if one doesn't, that's the serving optimization target."""
+    import dataclasses
+
+    from banet_tpu.config import default_config, inference_config
+    from banet_tpu.geometry.camera import Intrinsics
+    from banet_tpu.models.banet import BANet
+
+    H, W, N = 256, 320, 1024
+    cfg = inference_config(default_config(), image_size=(H, W))
+    model = BANet(cfg)
+    img0 = jnp.zeros((1, H, W, 3))
+    intr0 = Intrinsics.from_array(
+        jnp.array([[0.9 * W, 0.9 * W, W / 2.0, H / 2.0]], jnp.float32))
+    pts0 = jnp.full((1, 64, 2), 32.0)
+    variables = model.init(jax.random.PRNGKey(0), img0, img0, intr0,
+                           pts0)
+
+    def inputs(B, seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+        img = 255.0 * jax.random.uniform(ks[0], (B, H, W, 3))
+        k = jnp.tile(jnp.asarray([[W * 0.9, W * 0.9, W / 2, H / 2]],
+                                 jnp.float32), (B, 1))
+        pts = jnp.stack([
+            jax.random.uniform(ks[1], (B, N), minval=8.0,
+                               maxval=W - 8.0),
+            jax.random.uniform(ks[2], (B, N), minval=8.0,
+                               maxval=H - 8.0)], axis=-1)
+        d = jax.random.uniform(ks[3], (B, N), minval=1.0, maxval=4.0)
+        return img, k, pts, d
+
+    @jax.jit
+    def feats_chain(reps, img):
+        def body(_, carry):
+            im, acc = carry
+            f = model.apply(variables, im, method=model.features)
+            s = sum(jnp.sum(x.astype(jnp.float32)) for x in f)
+            return im + 1e-9 * s, acc + s
+        _, acc = jax.lax.fori_loop(0, reps, body,
+                                   (img, jnp.float32(0)))
+        return acc
+
+    @jax.jit
+    def solve_chain(reps, ref_sampled, feats_tgt, k, pts, d):
+        intr = Intrinsics.from_array(k)
+        B = pts.shape[0]
+
+        def body(_, carry):
+            t0, acc = carry
+            R, t, aux = model.apply(
+                variables, ref_sampled, jnp.zeros((B, H, W, 3)), intr,
+                pts, d, None, t0 * 1e-6, feats_tgt=feats_tgt,
+                method=model.pose_track_cached)
+            s = jnp.sum(t) + jnp.sum(R)
+            return t, acc + s
+        _, acc = jax.lax.fori_loop(
+            0, reps, body, (jnp.zeros((B, 3)), jnp.float32(0)))
+        return acc
+
+    @jax.jit
+    def prep(img, pts):
+        feats = model.apply(variables, img, method=model.features)
+        refs = model.apply(variables, feats, pts,
+                           method=model.sample_ref_features)
+        return refs, feats
+
+    k1, k2 = 2, 10
+    for B in (1, 4, 8, 12):
+        img, k, pts, d = inputs(B, 11 * B)
+        refs, feats = prep(img, pts)
+
+        def slope(fn, *args):
+            _ = np.asarray(fn(jnp.int32(k1), *args))
+            ts = []
+            for kk in (k1, k2):
+                best = np.inf
+                for r in range(3):
+                    t0 = time.perf_counter()
+                    out = fn(jnp.int32(kk), *args)
+                    _ = np.asarray(out)
+                    best = min(best, time.perf_counter() - t0)
+                ts.append(best)
+            return max((ts[1] - ts[0]) / (k2 - k1), 1e-9)
+
+        t_feat = slope(feats_chain, img)
+        t_solve = slope(solve_chain, refs, feats, k, pts, d)
+        print(json.dumps({
+            "component": "serving_sweep", "batch": B,
+            "feats_ms_per_image": round(t_feat * 1e3 / B, 4),
+            "solve_ms_per_frame": round(t_solve * 1e3 / B, 4),
+            "feats_ms_per_pass": round(t_feat * 1e3, 4),
+            "solve_ms_per_pass": round(t_solve * 1e3, 4)}))
+
+
 BENCHES = {
     "sampler": bench_sampler,
+    "serving_sweep": bench_serving_sweep,
     "feature_ab": bench_feature_ab,
     "tail_multi": bench_tail_multi,
     "frame_slope": bench_frame_slope,

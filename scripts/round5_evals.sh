@@ -73,6 +73,7 @@ done
 
 # 5. Rescue artifact (VERDICT item 4; eval_rescue's samples default
 #    fixed in 8d8c1ae).
+mkdir -p artifacts/rescue_r5
 python scripts/eval_rescue.py --ckpt $R8/ckpt_ema --tnet-ckpt $TN \
   --out artifacts/rescue_r5/rescue_eval.json \
   > artifacts/rescue_r5.log 2>&1

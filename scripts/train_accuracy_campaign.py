@@ -75,6 +75,12 @@ def main():
                          "finding: pad mode and curriculum are NOT "
                          "what separates r4's 0.0032 easy ATE from "
                          "r5/r6's ~0.012)")
+    ap.add_argument("--init-from", default=None, metavar="CKPT_DIR",
+                    help="initialize params+batch_stats (and EMA) from "
+                         "this checkpoint at step 0 — finetune mode "
+                         "(fresh optimizer, own cosine schedule over "
+                         "--steps).  Distinct from --resume-from-step, "
+                         "which continues THIS campaign's own run")
     ap.add_argument("--resume-from-step", type=int, default=0,
                     help="restore <out>/ckpt (params+batch_stats) and "
                          "<out>/ckpt_ema (EMA params) and continue the "
@@ -166,6 +172,22 @@ def main():
         leaves = [leaf_dict[k] for k in sorted(leaf_dict)]
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
+    if args.init_from and not args.resume_from_step:
+        from banet_tpu.utils.checkpoint import restore_checkpoint
+
+        tmpl = {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)}
+        got = restore_checkpoint(args.init_from, tmpl)
+        state = state.replace(params=got["params"],
+                              batch_stats=got["batch_stats"])
+        ema0 = got["params"]
+        if not tree_all_finite(state.params):
+            print(json.dumps({"fatal": "--init-from checkpoint has "
+                              "non-finite params", "ckpt":
+                              args.init_from}), flush=True)
+            return 4
+        print(json.dumps({"initialized_from": args.init_from}),
+              flush=True)
     if args.resume_from_step:
         from banet_tpu.utils.checkpoint import restore_checkpoint
 

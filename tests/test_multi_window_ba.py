@@ -255,3 +255,48 @@ def test_sharded_multi_single_fused_psum():
     # one all-reduce per operand, 7 here) and nothing else.
     assert 1 <= len(collectives) <= 10, collectives
     assert all(c == "all-reduce" for c in collectives), collectives
+
+
+def test_multi_window_reject_never_worsens_warm_start():
+    """Same Levenberg accept/reject contract as the single-keyframe
+    solver (round-5, VERDICT r4 item 3b): from a warm start, the joint
+    multi-keyframe solve must not return a state whose residual
+    exceeds the warm start's, even under near-zero damping where
+    unguarded GN overshoots — the failure mode that made multi-mode
+    window BA score worse than no window in round 4."""
+    import dataclasses
+
+    from banet_tpu.ba.multi_window_ba import multi_window_ba_step
+
+    prob, intr, Rk, tk, Rf, tf = two_keyframe_problem(
+        jax.random.PRNGKey(5), motion=0.06)
+    F = prob.tgt_fg.shape[0]
+    M = 2
+    K = prob.basis.shape[-1]
+
+    def residual_at(Rs_f, ts_f, Rs_k, ts_k, Ws):
+        *_, res = multi_window_ba_step(prob, Rs_f, ts_f, Rs_k, ts_k,
+                                       Ws, intr, 1e-3, CFG, 1.0)
+        return float(res)
+
+    # Warm start: the TRUE poses lightly perturbed (tracked-pose error
+    # model) — already close to the optimum.
+    keyp = jax.random.PRNGKey(6)
+    dR = exp_so3(0.01 * jax.random.normal(keyp, (F, 3)))
+    Rf0 = jnp.einsum("fij,fjk->fik", dR, Rf)
+    tf0 = tf + 0.01 * jax.random.normal(jax.random.fold_in(keyp, 1),
+                                        (F, 3))
+    res0 = residual_at(Rf0, tf0, Rk, tk, jnp.zeros((M, K)))
+
+    Rs_f, ts_f, Rs_k, ts_k, Ws, _ = solve_multi_window_ba(
+        prob, intr, CFG, num_iters=5, lam=1e-8, lam_depth=1e-8,
+        Rs_f0=Rf0, ts_f0=tf0, Rs_k0=Rk, ts_k0=tk)
+    res_rej = residual_at(Rs_f, ts_f, Rs_k, ts_k, Ws)
+    assert res_rej <= res0 * (1.0 + 1e-5), (res_rej, res0)
+
+    cfg_off = dataclasses.replace(CFG, window_reject_bad_steps=False)
+    Ru, tu, Rku, tku, Wu, _ = solve_multi_window_ba(
+        prob, intr, cfg_off, num_iters=5, lam=1e-8, lam_depth=1e-8,
+        Rs_f0=Rf0, ts_f0=tf0, Rs_k0=Rk, ts_k0=tk)
+    res_ung = residual_at(Ru, tu, Rku, tku, Wu)
+    assert res_rej <= res_ung * (1.0 + 1e-5), (res_rej, res_ung)
