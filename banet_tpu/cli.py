@@ -232,12 +232,16 @@ def _cmd_odometry_batched(args) -> int:
     from banet_tpu.tracking import TwoViewTracker
     from banet_tpu.tracking.batch_odometry import BatchedOdometryRunner
 
-    # The batched runner supports none of the per-sequence extras; fail
+    # Per-sequence extras the batched runner does not support; fail
     # loudly instead of silently changing semantics (ADVICE r4).
+    # Single-mode window BA IS supported (refined per element at rekey
+    # with the serial runner's padded jit; batch_odometry.py docstring).
     unsupported = [
         ("--retarget", getattr(args, "retarget", None)),
         ("--tnet-checkpoint", getattr(args, "tnet_checkpoint", None)),
-        ("--window-ba", getattr(args, "window_ba", False)),
+        ("--window-ba-mode multi",
+         getattr(args, "window_ba", False)
+         and getattr(args, "window_ba_mode", "single") == "multi"),
     ]
     bad = [name for name, val in unsupported if val]
     if bad:
@@ -299,7 +303,8 @@ def _cmd_odometry_batched(args) -> int:
                 kf_cfg, min_keep_ratio=args.min_keep_ratio)
 
     runner = BatchedOdometryRunner(tracker, keyframe_cfg=kf_cfg,
-                                   num_points=args.num_points)
+                                   num_points=args.num_points,
+                                   window_ba=args.window_ba)
     t0 = _time.perf_counter()
     trajs, stats = runner.run(frame_lists,
                               [s.intrinsics for s in seqs])
@@ -309,13 +314,16 @@ def _cmd_odometry_batched(args) -> int:
         path = f"{args.out}.{i}.txt" if len(trajs) > 1 else args.out
         save_tum_trajectory(path, traj)
         outs.append(path)
-    print(json.dumps({
+    summary = {
         "sequences": len(seqs),
         "frames": stats.num_frames,
         "keyframes": stats.num_keyframes,
         "wall_s": round(wall, 3),
         "frames_per_s": round(stats.num_frames / wall, 2),
-        "out": outs}))
+        "out": outs}
+    if args.window_ba:
+        summary["window_refinements"] = stats.window_refinements
+    print(json.dumps(summary))
     return 0
 
 

@@ -91,3 +91,50 @@ def test_cli_multi_sequence(tmp_path):
     for i in range(2):
         assert len(open(f"{out}.{i}.txt").read().strip()
                    .splitlines()) == 3
+
+
+@pytest.mark.slow
+def test_batched_window_ba_matches_serial(tmp_path):
+    """Single-mode window BA in the batched runner is the serial
+    runner's refine_window applied per element at rekey — same padded
+    jit, same warm-start convention — so per-element trajectories must
+    agree at the same f32-reduction-noise scale as the plain runners,
+    and refinements must actually fire (forced by a tiny time gap)."""
+    import dataclasses
+
+    from banet_tpu.config import KeyframeConfig
+    from banet_tpu.data.synthetic import write_rendered_sequence
+
+    H, W, N, F = 64, 96, 32, 6
+    seqs = [write_rendered_sequence(str(tmp_path / f"s{i}"),
+                                    num_frames=F, size=(H, W),
+                                    seed=30 + i)
+            for i in range(2)]
+    frame_lists = [[(f.timestamp, f.load_rgb(), f.load_depth())
+                    for f in s.frames] for s in seqs]
+    # Force a rekey mid-sequence so the retiring-window refinement
+    # path runs (not only the final close-out).
+    kf = dataclasses.replace(KeyframeConfig(), max_time_gap=0.08)
+
+    tracker = TwoViewTracker.initialize(default_config(),
+                                        image_size=(H, W), num_points=N)
+    batched = BatchedOdometryRunner(tracker, keyframe_cfg=kf,
+                                    num_points=N, seed=7,
+                                    window_ba=True, window_max_frames=3)
+    trajs_b, stats = batched.run(frame_lists,
+                                 [s.intrinsics for s in seqs])
+    assert stats.window_refinements >= 2 * 2  # >=1 rekey + closeout each
+
+    for i, s in enumerate(seqs):
+        serial = OdometryRunner(
+            TwoViewTracker.initialize(default_config(),
+                                      image_size=(H, W), num_points=N),
+            keyframe_cfg=kf, num_points=N, seed=7,
+            window_ba=True, window_max_frames=3)
+        traj_s, st_s = serial.run(iter(frame_lists[i]), s.intrinsics)
+        assert st_s.window_refinements >= 2
+        np.testing.assert_array_equal(trajs_b[i].timestamps,
+                                      traj_s.timestamps)
+        dt = np.abs(np.asarray(trajs_b[i].poses)[:, :3, 3]
+                    - np.asarray(traj_s.poses)[:, :3, 3])
+        assert dt.max() < 5e-2, dt.max()
