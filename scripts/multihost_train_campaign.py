@@ -96,16 +96,19 @@ def worker(args):
             log.write(json.dumps(row) + "\n")
             log.flush()
 
-    # Checkpoint: replicated state -> host np tree, saved by pid 0.
+    # Checkpoint: replicated state -> host np tree.  EVERY process
+    # calls the (orbax) save — it runs its own cross-process barriers
+    # and writes from the primary host; a pid-0-only call deadlocks
+    # against the other workers' final sync.
     host_state = jax.tree.map(
         lambda x: np.asarray(x.addressable_data(0)), state)
-    if is_zero:
-        from banet_tpu.utils.checkpoint import save_checkpoint
+    from banet_tpu.utils.checkpoint import save_checkpoint
 
+    save_checkpoint(os.path.join(args.out, "ckpt"),
+                    {"params": host_state.params,
+                     "batch_stats": host_state.batch_stats})
+    if is_zero:
         log.close()
-        save_checkpoint(os.path.join(args.out, "ckpt"),
-                        {"params": host_state.params,
-                         "batch_stats": host_state.batch_stats})
         k = max(len(totals) // 5, 1)
         first, last = (float(np.mean(totals[:k])),
                        float(np.mean(totals[-k:])))
